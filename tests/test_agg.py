@@ -1,0 +1,141 @@
+"""Aggregation semantics vs numpy oracles (reference tests/agg_test.py).
+
+NaN/null contract (SURVEY §2.4): count(expr) counts values neither NaN nor
+missing; count('*')/count() counts rows; sum skips NaN and null; min/max skip
+NaN; integer aggregates exact, float to tolerance.
+"""
+
+import numpy as np
+import numpy.testing as npt
+import pytest
+
+import vaex_tpu as vt
+
+
+X = np.arange(10, dtype="f8")
+
+
+def test_count_star(df):
+    assert df.count() == 10
+
+
+def test_count_column(df):
+    assert df.count("x") == 10
+    assert df.count("m") == 8          # 2 missing
+    assert df.count("f") == 9          # 1 NaN
+
+
+def test_sum(df):
+    assert df.sum("x") == X.sum()
+    assert df.sum("m") == X[2:].sum()      # missing skipped
+    assert df.sum("f") == X[:-1].sum()     # nan skipped
+    assert df.sum("i") == 45
+    assert np.asarray(df.sum("i")).dtype == np.int64  # upcast contract
+
+
+def test_mean(df):
+    npt.assert_allclose(df.mean("x"), X.mean())
+    npt.assert_allclose(df.mean("m"), X[2:].mean())
+    npt.assert_allclose(df.mean("f"), X[:-1].mean())
+
+
+def test_minmax(df):
+    assert df.min("x") == 0
+    assert df.max("x") == 9
+    assert df.min("m") == 2.0          # masked skipped
+    assert df.max("f") == 8.0          # nan skipped
+    npt.assert_array_equal(df.minmax("x"), [0.0, 9.0])
+
+
+def test_std_var(df):
+    npt.assert_allclose(df.std("x"), X.std())
+    npt.assert_allclose(df.var("x"), X.var())
+    npt.assert_allclose(df.std("x", ddof=1), X.std(ddof=1))
+
+
+def test_binby_count(df):
+    counts = df.count(binby=["x"], limits=[[0, 10]], shape=5)
+    npt.assert_array_equal(counts, [2, 2, 2, 2, 2])
+
+
+def test_binby_limits_auto(df):
+    # limits=None triggers a minmax pre-pass; the reference's edge contract
+    # (superagg_binners.cpp:42-52) sends v == vmax to the overflow bin, which
+    # is stripped — so the max row is lost with minmax limits (the reference's
+    # own test compares only counts[:-1], tests/count_test.py:27-44)
+    counts = df.count(binby=["x"], shape=2)
+    assert counts.sum() == 9
+    counts2 = df.count(binby=["x"], limits=[[0, 9.5]], shape=2)
+    assert counts2.sum() == 10
+
+
+def test_binby_2d(df):
+    grid = df.count(binby=["x", "y"], limits=[[0, 10], [0, 100]], shape=[2, 2])
+    assert grid.shape == (2, 2)
+    assert grid.sum() == 10
+
+
+def test_binby_sum(df):
+    sums = df.sum("y", binby=["x"], limits=[[0, 10]], shape=2)
+    npt.assert_allclose(sums, [np.sum(X[:5] ** 2), np.sum(X[5:] ** 2)])
+
+
+def test_binby_mean_empty_bins(df):
+    means = df.mean("y", binby=["x"], limits=[[20, 30]], shape=2)
+    assert np.isnan(means).all()
+
+
+def test_selection_agg(df):
+    assert df.count("x", selection="x > 4") == 5
+    assert df.sum("x", selection="x > 4") == X[X > 4].sum()
+    # list of selections -> leading axis
+    counts = df.count("x", selection=["x > 4", "x > 8"])
+    npt.assert_array_equal(counts, [5, 1])
+
+
+def test_selection_named(df):
+    df.select("x > 4")
+    assert df.count("x", selection=True) == 5
+
+
+def test_count_binby_edges(df):
+    counts = df.count(binby=["f"], limits=[[0, 8]], shape=4, edges=True)
+    # +3 layout: [nan, underflow, d0, d1, d2, d3, overflow]
+    assert counts.shape == (7,)
+    assert counts[0] == 1          # the NaN row
+    assert counts[1] == 0          # underflow
+    assert counts[-1] == 1         # f == 8 -> == vmax -> overflow
+    assert counts[2:-1].sum() == 8
+
+
+def test_first(df):
+    v = df.first("y", "x")
+    assert v == 0.0
+    v = df.first("y", "-x")
+    assert v == 81.0
+
+
+def test_agg_expression(df):
+    assert df.sum("x + y") == np.sum(X + X ** 2)
+    npt.assert_allclose(df.mean("x * 2 + 1"), np.mean(X * 2 + 1))
+
+
+def test_delayed_merging(df_local):
+    df = df_local
+    passes0 = df.executor.passes
+    s = df.sum("x", delay=True)
+    m = df.mean("y", delay=True)
+    c = df.count(delay=True)
+    df.execute()
+    assert df.executor.passes == passes0 + 1  # one fused pass
+    assert s.get() == X.sum()
+    npt.assert_allclose(m.get(), (X ** 2).mean())
+    assert c.get() == 10
+
+
+def test_datetime_ops(df_local):
+    t = np.arange("2015-01-01", "2015-01-11", dtype="M8[D]")
+    df = vt.from_arrays(t=t, y=np.arange(10.0))
+    assert df.count("t") == 10
+    years = df.evaluate("dt_year(t)")
+    npt.assert_array_equal(np.asarray(years), [2015] * 10)

@@ -1,0 +1,401 @@
+"""Aggregator descriptors: ``vaex_tpu.agg.count/sum/mean/min/max/...``.
+
+Re-design of the reference's ``vaex/agg.py`` (304 LoC).  A descriptor is a
+small declarative object; ``add_tasks`` binds it to a DataFrame + binner stack
+by registering an :class:`AggOperation` on the pass's shared
+:class:`~vaex_tpu.tasks.TaskAggregations`.  Operations own their accumulator
+grids (device arrays in the pass state) and the traced ``update`` that
+scatters a tile into them (:mod:`vaex_tpu.ops.gridagg`).
+
+Dtype contract (reference agg.py:90-100 _prepare_types, superagg.cpp):
+count -> int64; sum/_sum_moment upcast int->int64, uint->uint64, f32->f64;
+min/max keep the input dtype; mean/var/std are float64 finishers over
+sum/count/moment grids.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .datatype import DataType
+from .delayed import delayed
+from .ops import gridagg
+from .utils import fingerprint
+
+
+def extract_central(grid, ndim):
+    """Strip the +3 edges from the leading ndim axes (reference agg.py:116-120)."""
+    index = tuple(slice(2, -1) for _ in range(ndim))
+    return grid[index]
+
+
+class AggOperation:
+    """One (aggregator, selection) pair bound into a pass."""
+
+    name = "op"
+
+    def __init__(self, expressions, selection=None, dtype_in=None, dtype_out=None):
+        self.expressions = [str(e) for e in expressions if e is not None]
+        self.selection = selection
+        self.dtype_in = dtype_in
+        self.dtype_out = dtype_out
+
+    def selection_expressions(self):
+        sel = self.selection
+        if sel is None or sel is False or sel is True:
+            return []
+        return [str(sel)]
+
+    def fingerprint(self):
+        return fingerprint(type(self).__name__, self.name, self.expressions,
+                           str(self.selection), str(self.dtype_in), str(self.dtype_out))
+
+    def _valid(self, ctx):
+        return ctx.selection_valid(self.selection)
+
+    def initial_state(self, G):
+        raise NotImplementedError
+
+    def update(self, state, flat_idx, ctx):
+        raise NotImplementedError
+
+    def get_result(self, state):
+        raise NotImplementedError
+
+
+class OpCount(AggOperation):
+    name = "count"
+
+    def initial_state(self, G):
+        return (np.zeros(G, np.int64),)
+
+    def update(self, state, flat_idx, ctx):
+        valid = self._valid(ctx)
+        if self.expressions:  # count(expr): skip NaN/null values
+            x = ctx.expr(self.expressions[0])
+            valid = gridagg.value_valid(x, valid)
+        return (gridagg.grid_count(state[0], flat_idx, valid),)
+
+    def get_result(self, state):
+        return state[0]
+
+
+class OpSum(AggOperation):
+    name = "sum"
+
+    def initial_state(self, G):
+        return (np.zeros(G, DataType(self.dtype_in).upcast().numpy),)
+
+    def update(self, state, flat_idx, ctx):
+        x = ctx.expr(self.expressions[0])
+        return (gridagg.grid_sum(state[0], flat_idx, x, self._valid(ctx)),)
+
+    def get_result(self, state):
+        return state[0]
+
+
+class OpSumMoment(AggOperation):
+    name = "summoment"
+
+    def __init__(self, expressions, moment, **kwargs):
+        super().__init__(expressions, **kwargs)
+        self.moment = moment
+
+    def fingerprint(self):
+        return fingerprint(super().fingerprint(), self.moment)
+
+    def initial_state(self, G):
+        return (np.zeros(G, np.float64),)
+
+    def update(self, state, flat_idx, ctx):
+        x = ctx.expr(self.expressions[0])
+        return (gridagg.grid_sum_moment(state[0], flat_idx, x, self._valid(ctx), self.moment),)
+
+    def get_result(self, state):
+        return state[0]
+
+
+class OpMin(AggOperation):
+    name = "min"
+
+    def initial_state(self, G):
+        dt = DataType(self.dtype_in).numpy
+        return (np.full(G, gridagg.min_identity(dt), dt),)
+
+    def update(self, state, flat_idx, ctx):
+        x = ctx.expr(self.expressions[0])
+        return (gridagg.grid_min(state[0], flat_idx, x, self._valid(ctx)),)
+
+    def get_result(self, state):
+        return state[0]
+
+
+class OpMax(AggOperation):
+    name = "max"
+
+    def initial_state(self, G):
+        dt = DataType(self.dtype_in).numpy
+        return (np.full(G, gridagg.max_identity(dt), dt),)
+
+    def update(self, state, flat_idx, ctx):
+        x = ctx.expr(self.expressions[0])
+        return (gridagg.grid_max(state[0], flat_idx, x, self._valid(ctx)),)
+
+    def get_result(self, state):
+        return state[0]
+
+
+class OpFirst(AggOperation):
+    name = "first"
+
+    def initial_state(self, G):
+        dt = DataType(self.dtype_in).numpy
+        return (np.zeros(G, dt), np.full(G, np.inf, np.float64))
+
+    def update(self, state, flat_idx, ctx):
+        x = ctx.expr(self.expressions[0])
+        order = ctx.expr(self.expressions[1])
+        vg, og = gridagg.grid_first(state[0], state[1], flat_idx, x, order,
+                                    self._valid(ctx), ctx.i1, ctx.row_ids)
+        return (vg, og)
+
+    def get_result(self, state):
+        return state[0]
+
+
+class OpNUniquePresence(AggOperation):
+    """nunique via a presence grid over (cell, value-ordinal): count nonzero
+    per cell.  TPU-native replacement of the per-cell hashmaps in
+    agg_hash_primitive.cpp:7-62; requires a prior set-build pass that exposes
+    ``_ordinal_values`` for the expression (set in ``ordinal_expression``)."""
+
+    name = "nunique"
+
+    def __init__(self, expressions, ordinal_expression, n_values, dropna=False,
+                 dropnan=False, dropmissing=False, **kwargs):
+        super().__init__(expressions, **kwargs)
+        self.ordinal_expression = str(ordinal_expression)
+        self.n_values = int(n_values)
+        self.dropnan = dropnan or dropna
+        self.dropmissing = dropmissing or dropna
+        if self.ordinal_expression not in self.expressions:
+            self.expressions.append(self.ordinal_expression)
+
+    def fingerprint(self):
+        return fingerprint(super().fingerprint(), self.ordinal_expression, self.n_values,
+                           self.dropnan, self.dropmissing)
+
+    def initial_state(self, G):
+        return (np.zeros(G * max(self.n_values, 1), bool), np.zeros(G, np.int64))
+
+    def update(self, state, flat_idx, ctx):
+        import jax.numpy as jnp
+        presence, _counts = state
+        codes = ctx.expr(self.ordinal_expression)
+        valid = self._valid(ctx)
+        if codes.mask is not None:
+            valid = valid & ~codes.mask
+        code = codes.data.astype(jnp.int32)
+        valid = valid & (code >= 0) & (code < self.n_values)
+        G = _counts.shape[0]
+        flat = flat_idx * self.n_values + code
+        flat = jnp.where(valid, flat, G * self.n_values)
+        presence = presence.at[flat].set(True, mode="drop")
+        return (presence, _counts)
+
+    def get_result(self, state):
+        presence = state[0].reshape(-1, self.n_values)
+        counts = presence.sum(axis=1).astype(np.int64)
+        if self.dropnan and getattr(self, "_nan_ordinal", -1) >= 0:
+            counts -= presence[:, self._nan_ordinal].astype(np.int64)
+        if self.dropmissing and getattr(self, "_null_ordinal", -1) >= 0:
+            counts -= presence[:, self._null_ordinal].astype(np.int64)
+        return counts
+
+
+# ---------------------------------------------------------------------------
+# descriptors (user facing, reference agg.py:231-288 registry)
+
+
+class AggregatorDescriptor:
+    def __init__(self, name, expression=None, selection=None, edges=False):
+        self.name = name
+        self.expression = str(expression) if expression is not None else None
+        self.selection = selection
+        self.edges = edges
+
+    @property
+    def expressions(self):
+        return [self.expression] if self.expression and self.expression != "*" else []
+
+    def __repr__(self):
+        return f"vaex_tpu.agg.{self.name}({self.expression!r})"
+
+    def fingerprint(self):
+        return fingerprint("agg-desc", self.name, self.expression, str(self.selection))
+
+    def pretty_name(self, name=None, df=None):
+        name = name or self.expression
+        from .utils import find_valid_name
+        return find_valid_name(f"{name}_{self.name}")
+
+    def add_tasks(self, df, binners, progress=None):
+        """Schedule on the shared TaskAggregations; returns [promise]."""
+        raise NotImplementedError
+
+    def _input_dtype(self, df):
+        if self.expression is None or self.expression == "*":
+            return DataType(np.dtype("int64"))
+        return DataType(df.data_type(self.expression))
+
+
+class AggregatorDescriptorBasic(AggregatorDescriptor):
+    def __init__(self, name, expression, op_class, selection=None, edges=False, op_kwargs=None):
+        super().__init__(name, expression, selection, edges)
+        self.op_class = op_class
+        self.op_kwargs = op_kwargs or {}
+
+    def add_tasks(self, df, binners, progress=None):
+        dtype_in = self._input_dtype(df)
+        exprs = [] if self.expression in (None, "*") else [self.expression]
+        op = self.op_class(exprs, selection=self.selection, dtype_in=dtype_in,
+                           **self.op_kwargs)
+        task = df.executor.schedule_aggregation(df, binners, op)
+        return [task]
+
+
+class AggregatorDescriptorMean(AggregatorDescriptor):
+    """mean = sum / count (reference agg.py:158-188)."""
+
+    def __init__(self, expression, selection=None, edges=False):
+        super().__init__("mean", expression, selection, edges)
+
+    def add_tasks(self, df, binners, progress=None):
+        expr = self.expression
+        dtype = DataType(df.data_type(expr))
+        sum_desc = AggregatorDescriptorBasic("sum", expr, OpSum, self.selection)
+        count_desc = AggregatorDescriptorBasic("count", expr, OpCount, self.selection)
+        [sum_task] = sum_desc.add_tasks(df, binners)
+        [count_task] = count_desc.add_tasks(df, binners)
+
+        @delayed
+        def finish(s, c):
+            with np.errstate(divide="ignore", invalid="ignore"):
+                return s / c
+        return [finish(sum_task, count_task)]
+
+
+class AggregatorDescriptorVar(AggregatorDescriptor):
+    """var/std via raw moments E[x^2] - E[x]^2 (reference agg.py:191-229)."""
+
+    def __init__(self, expression, std=False, ddof=0, selection=None, edges=False):
+        super().__init__("std" if std else "var", expression, selection, edges)
+        self.std = std
+        self.ddof = ddof
+
+    def add_tasks(self, df, binners, progress=None):
+        expr = self.expression
+        sum_desc = AggregatorDescriptorBasic("summoment1", expr, OpSumMoment, self.selection,
+                                             op_kwargs={"moment": 1})
+        mom_desc = AggregatorDescriptorBasic("summoment2", expr, OpSumMoment, self.selection,
+                                             op_kwargs={"moment": 2})
+        count_desc = AggregatorDescriptorBasic("count", expr, OpCount, self.selection)
+        [s1] = sum_desc.add_tasks(df, binners)
+        [s2] = mom_desc.add_tasks(df, binners)
+        [c] = count_desc.add_tasks(df, binners)
+
+        @delayed
+        def finish(m1, m2, n):
+            with np.errstate(divide="ignore", invalid="ignore"):
+                mean = m1 / n
+                var = m2 / n - mean ** 2
+                if self.ddof:
+                    var = var * n / (n - self.ddof)
+                return np.sqrt(var) if self.std else var
+        return [finish(s1, s2, c)]
+
+
+def count(expression="*", selection=None, edges=False):
+    return AggregatorDescriptorBasic("count", expression, OpCount, selection, edges)
+
+
+def sum(expression, selection=None, edges=False):  # noqa: A001
+    return AggregatorDescriptorBasic("sum", expression, OpSum, selection, edges)
+
+
+def mean(expression, selection=None, edges=False):
+    return AggregatorDescriptorMean(expression, selection, edges)
+
+
+def min(expression, selection=None, edges=False):  # noqa: A001
+    return AggregatorDescriptorBasic("min", expression, OpMin, selection, edges)
+
+
+def max(expression, selection=None, edges=False):  # noqa: A001
+    return AggregatorDescriptorBasic("max", expression, OpMax, selection, edges)
+
+
+def first(expression, order_expression=None, selection=None, edges=False):
+    desc = AggregatorDescriptorBasic("first", expression, OpFirst, selection, edges)
+    desc.order_expression = str(order_expression) if order_expression is not None else str(expression)
+
+    # patch expressions to include the order expression
+    class _FirstDesc(AggregatorDescriptorBasic):
+        def add_tasks(self, df, binners, progress=None):
+            dtype_in = DataType(df.data_type(self.expression))
+            op = OpFirst([self.expression, desc.order_expression], selection=self.selection,
+                         dtype_in=dtype_in)
+            return [df.executor.schedule_aggregation(df, binners, op)]
+    d = _FirstDesc("first", desc.expression, OpFirst, selection, edges)
+    d.order_expression = desc.order_expression
+    return d
+
+
+def var(expression, ddof=0, selection=None, edges=False):
+    return AggregatorDescriptorVar(expression, std=False, ddof=ddof, selection=selection, edges=edges)
+
+
+def std(expression, ddof=0, selection=None, edges=False):
+    return AggregatorDescriptorVar(expression, std=True, ddof=ddof, selection=selection, edges=edges)
+
+
+def _sum_moment(expression, moment, selection=None, edges=False):
+    return AggregatorDescriptorBasic(f"summoment{moment}", expression, OpSumMoment,
+                                     selection, edges, op_kwargs={"moment": moment})
+
+
+class AggregatorDescriptorNUnique(AggregatorDescriptor):
+    """nunique (reference agg.py:123): needs a set-build pass first; the
+    groupby/DataFrame layer wires ``_ordinal_values`` and the set size in."""
+
+    def __init__(self, expression, dropna=False, dropnan=False, dropmissing=False,
+                 selection=None, edges=False):
+        super().__init__("nunique", expression, selection, edges)
+        self.dropna = dropna
+        self.dropnan = dropnan
+        self.dropmissing = dropmissing
+
+    def add_tasks(self, df, binners, progress=None):
+        # pass 1: build the value set (synchronous here; executor caches it)
+        oset = df._set(self.expression)
+        var_name = df.add_variable("set_nunique", oset, unique=True)
+        ordinal_expr = f"_ordinal_values({self.expression}, {var_name})"
+        op = OpNUniquePresence([self.expression], ordinal_expr, oset.count,
+                               dropna=self.dropna, dropnan=self.dropnan,
+                               dropmissing=self.dropmissing, selection=self.selection,
+                               dtype_in=self._input_dtype(df))
+        op._nan_ordinal = oset.nan_ordinal
+        op._null_ordinal = oset.null_ordinal
+        task = df.executor.schedule_aggregation(df, binners, op)
+        return [task]
+
+
+def nunique(expression, dropna=False, dropnan=False, dropmissing=False, selection=None, edges=False):
+    return AggregatorDescriptorNUnique(expression, dropna, dropnan, dropmissing, selection, edges)
+
+
+aggregates = {
+    "count": count, "sum": sum, "mean": mean, "min": min, "max": max,
+    "first": first, "std": std, "var": var, "nunique": nunique,
+    "_sum_moment": _sum_moment,
+}

@@ -1,0 +1,403 @@
+"""Columnar storage: the immutable, composable Dataset graph.
+
+Re-design of the reference's ``vaex/dataset.py`` (1596 LoC).  A ``Dataset`` is
+a Mapping name -> column with a ``row_count``, a ``chunk_iterator`` streaming
+host chunks, a content ``fingerprint``, and pure decorator constructors
+(``renamed / sliced / dropped / merged / take / concat / filtered``) that build
+a new node without touching data.  The executor pulls chunks from here and
+pads them into fixed-size device tiles.
+"""
+
+from __future__ import annotations
+
+import collections.abc
+from typing import Dict, Iterator, List, Optional, Tuple
+
+import numpy as np
+
+try:
+    import pyarrow as pa
+except ImportError:  # pragma: no cover
+    pa = None
+
+from . import array_types
+from .column import Column, ColumnIndexed
+from .datatype import dtype_of
+from .utils import fingerprint, hash_array_data
+
+HERE_CHUNK = Tuple[int, int, Dict[str, object]]
+
+
+def _slice_column(col, i1, i2):
+    if isinstance(col, Column):
+        return col[i1:i2]
+    return array_types.slice_array(col, i1, i2)
+
+
+class Dataset(collections.abc.Mapping):
+    """Base class (reference: dataset.py:309)."""
+
+    def __init__(self):
+        self._row_count = None
+        self._ids = {}
+
+    # -- Mapping protocol ---------------------------------------------------
+    def __getitem__(self, name):
+        return self._columns[name]
+
+    def __iter__(self):
+        return iter(self._columns)
+
+    def __len__(self):
+        return len(self._columns)
+
+    @property
+    def row_count(self) -> int:
+        return self._row_count
+
+    def dtypes(self):
+        return {name: dtype_of(col) for name, col in self._columns.items()}
+
+    # -- identity -----------------------------------------------------------
+    def fingerprint(self) -> str:
+        raise NotImplementedError
+
+    def _column_fingerprint(self, name) -> str:
+        col = self._columns[name]
+        if hasattr(col, "fingerprint"):
+            return col.fingerprint()
+        return hash_array_data(array_types.to_numpy(col[:1000]) if len(col) else np.empty(0)) + f"-n{len(col)}"
+
+    # -- chunking -----------------------------------------------------------
+    def chunk_iterator(self, columns, chunk_size=None, reverse=False) -> Iterator[HERE_CHUNK]:
+        """Yield (i1, i2, {name: host_array}) over [0, row_count).
+
+        Default implementation slices columns; decorator nodes override where
+        a smarter streaming plan exists (reference: dataset.py:503).
+        """
+        chunk_size = chunk_size or 1024 * 1024
+        n = self.row_count
+        starts = range(0, max(n, 1), chunk_size)
+        if reverse:
+            starts = reversed(list(starts))
+        for i1 in starts:
+            i2 = min(i1 + chunk_size, n)
+            if n == 0:
+                yield 0, 0, {name: self._columns[name][0:0] for name in columns}
+                return
+            yield i1, i2, {name: _slice_column(self._columns[name], i1, i2) for name in columns}
+
+    # -- decorators ---------------------------------------------------------
+    def renamed(self, renaming: Dict[str, str]) -> "Dataset":
+        return DatasetRenamed(self, renaming)
+
+    def merged(self, other: "Dataset") -> "Dataset":
+        return DatasetMerged(self, other)
+
+    def dropped(self, *names) -> "Dataset":
+        return DatasetDropped(self, names)
+
+    def project(self, *names) -> "Dataset":
+        drop = [n for n in self if n not in names]
+        return self.dropped(*drop) if drop else self
+
+    def slice(self, start, end) -> "Dataset":
+        if start == 0 and end == self.row_count:
+            return self
+        return DatasetSliced(self, start, end)
+
+    def take(self, indices, masked=False) -> "Dataset":
+        return DatasetTake(self, indices, masked=masked)
+
+    def concat(self, *others) -> "Dataset":
+        datasets = []
+        for ds in (self,) + others:
+            if isinstance(ds, DatasetConcatenated):
+                datasets.extend(ds.datasets)
+            else:
+                datasets.append(ds)
+        return DatasetConcatenated(datasets)
+
+    def filtered(self, mask: np.ndarray) -> "Dataset":
+        return DatasetFiltered(self, mask)
+
+    def shallow_copy(self):
+        return self
+
+    def close(self):
+        pass
+
+
+class DatasetArrays(Dataset):
+    """In-memory dict of columns (reference: dataset.py:1304)."""
+
+    def __init__(self, columns: Dict[str, object]):
+        super().__init__()
+        self._columns = dict(columns)
+        lengths = {name: len(col) for name, col in self._columns.items()}
+        if lengths:
+            unique = set(lengths.values())
+            if len(unique) != 1:
+                raise ValueError(f"columns have unequal lengths: {lengths}")
+            self._row_count = unique.pop()
+        else:
+            self._row_count = 0
+
+    def fingerprint(self) -> str:
+        return fingerprint("dataset-arrays",
+                           {name: self._column_fingerprint(name) for name in self._columns})
+
+
+class _Decorator(Dataset):
+    """Shared plumbing for single-parent decorator nodes."""
+
+    def __init__(self, original: Dataset):
+        super().__init__()
+        self.original = original
+
+
+class DatasetRenamed(_Decorator):
+    def __init__(self, original, renaming: Dict[str, str]):
+        super().__init__(original)
+        self.renaming = dict(renaming)
+        self.reverse = {v: k for k, v in renaming.items()}
+        self._columns = {renaming.get(name, name): col for name, col in original._columns.items()}
+        self._row_count = original.row_count
+
+    def chunk_iterator(self, columns, chunk_size=None, reverse=False):
+        src_cols = [self.reverse.get(name, name) for name in columns]
+        for i1, i2, chunks in self.original.chunk_iterator(src_cols, chunk_size, reverse=reverse):
+            yield i1, i2, {name: chunks[src] for name, src in zip(columns, src_cols)}
+
+    def fingerprint(self):
+        return fingerprint("dataset-renamed", self.original.fingerprint(), self.renaming)
+
+
+class DatasetDropped(_Decorator):
+    def __init__(self, original, names):
+        super().__init__(original)
+        self.names = tuple(names)
+        self._columns = {n: c for n, c in original._columns.items() if n not in self.names}
+        self._row_count = original.row_count
+
+    def chunk_iterator(self, columns, chunk_size=None, reverse=False):
+        for name in columns:
+            if name in self.names:
+                raise KeyError(f"column {name} was dropped")
+        yield from self.original.chunk_iterator(columns, chunk_size, reverse=reverse)
+
+    def fingerprint(self):
+        return fingerprint("dataset-dropped", self.original.fingerprint(), self.names)
+
+
+class DatasetMerged(Dataset):
+    """hstack of two datasets (reference: dataset.py:1216)."""
+
+    def __init__(self, left: Dataset, right: Dataset):
+        super().__init__()
+        if left.row_count != right.row_count:
+            raise ValueError(f"row counts differ: {left.row_count} vs {right.row_count}")
+        overlap = set(left) & set(right)
+        if overlap:
+            raise NameError(f"duplicate columns: {overlap}")
+        self.left = left
+        self.right = right
+        self._columns = {**left._columns, **right._columns}
+        self._row_count = left.row_count
+
+    def chunk_iterator(self, columns, chunk_size=None, reverse=False):
+        left_cols = [n for n in columns if n in self.left._columns]
+        right_cols = [n for n in columns if n in self.right._columns]
+        if not right_cols:
+            yield from self.left.chunk_iterator(columns, chunk_size, reverse=reverse)
+            return
+        if not left_cols:
+            yield from self.right.chunk_iterator(columns, chunk_size, reverse=reverse)
+            return
+        lit = self.left.chunk_iterator(left_cols, chunk_size, reverse=reverse)
+        rit = self.right.chunk_iterator(right_cols, chunk_size, reverse=reverse)
+        for (i1, i2, lc), (j1, j2, rc) in zip(lit, rit):
+            assert (i1, i2) == (j1, j2), "merged datasets must chunk identically"
+            out = dict(lc)
+            out.update(rc)
+            yield i1, i2, {name: out[name] for name in columns}
+
+    def fingerprint(self):
+        return fingerprint("dataset-merged", self.left.fingerprint(), self.right.fingerprint())
+
+
+class DatasetSliced(_Decorator):
+    """Row-range view (reference: dataset.py:1027)."""
+
+    def __init__(self, original, start, end):
+        super().__init__(original)
+        if isinstance(original, DatasetSliced):
+            start = original.start + start
+            end = original.start + end
+            original = original.original
+            self.original = original
+        self.start = start
+        self.end = end
+        self._row_count = end - start
+        self._columns = {name: _SlicedView(col, start, end) for name, col in original._columns.items()}
+
+    def chunk_iterator(self, columns, chunk_size=None, reverse=False):
+        chunk_size = chunk_size or 1024 * 1024
+        n = self._row_count
+        starts = range(0, max(n, 1), chunk_size)
+        if reverse:
+            starts = reversed(list(starts))
+        for i1 in starts:
+            i2 = min(i1 + chunk_size, n)
+            chunks = {name: _slice_column(self.original._columns[name], self.start + i1, self.start + i2)
+                      for name in columns}
+            yield i1, i2, chunks
+            if n == 0:
+                return
+
+    def fingerprint(self):
+        return fingerprint("dataset-sliced", self.original.fingerprint(), self.start, self.end)
+
+
+class _SlicedView:
+    """Zero-copy sliced view over a column."""
+
+    def __init__(self, col, start, end):
+        self.col = col
+        self.start = start
+        self.end = end
+
+    def __len__(self):
+        return self.end - self.start
+
+    @property
+    def dtype(self):
+        return dtype_of(self.col).internal
+
+    def __getitem__(self, item):
+        if isinstance(item, slice):
+            i1, i2, step = item.indices(len(self))
+            assert step == 1
+            return _slice_column(self.col, self.start + i1, self.start + i2)
+        return self.col[self.start:self.end][item]
+
+
+class DatasetTake(_Decorator):
+    """Row gather (reference: dataset.py:853)."""
+
+    def __init__(self, original, indices, masked=False):
+        super().__init__(original)
+        self.indices = indices
+        self.masked = masked
+        self._columns = {name: ColumnIndexed.index(col, indices, masked=masked)
+                         for name, col in original._columns.items()}
+        self._row_count = len(indices)
+
+    def fingerprint(self):
+        idx = self.indices
+        data = np.asarray(idx.data if isinstance(idx, np.ma.MaskedArray) else idx)
+        return fingerprint("dataset-take", self.original.fingerprint(), hash_array_data(data), self.masked)
+
+
+class DatasetFiltered(_Decorator):
+    """Boolean-mask filter pushed into chunk iteration (reference: dataset.py:929)."""
+
+    def __init__(self, original, mask: np.ndarray):
+        super().__init__(original)
+        assert len(mask) == original.row_count
+        self.mask = np.asarray(mask, dtype=bool)
+        indices = np.flatnonzero(self.mask)
+        self._row_count = len(indices)
+        self._indices = indices
+        self._columns = {name: ColumnIndexed.index(col, indices) for name, col in original._columns.items()}
+
+    def fingerprint(self):
+        return fingerprint("dataset-filtered", self.original.fingerprint(), hash_array_data(self.mask))
+
+
+class DatasetConcatenated(Dataset):
+    """vstack (reference: dataset.py:660) with chunk re-alignment."""
+
+    def __init__(self, datasets: List[Dataset]):
+        super().__init__()
+        self.datasets = list(datasets)
+        first = self.datasets[0]
+        names = list(first)
+        for ds in self.datasets[1:]:
+            if list(ds) != names:
+                common = [n for n in names if n in set(ds)]
+                names = common
+        self._names = names
+        self._columns = {}
+        from .column import ColumnConcatenated
+        for name in names:
+            self._columns[name] = ColumnConcatenated([ds._columns[name] for ds in self.datasets])
+        self._row_count = sum(ds.row_count for ds in self.datasets)
+
+    def chunk_iterator(self, columns, chunk_size=None, reverse=False):
+        chunk_size = chunk_size or 1024 * 1024
+        if not columns:
+            # pure row-range iteration (e.g. count('*') passes)
+            n = self.row_count
+            for i1 in range(0, max(n, 1), chunk_size):
+                yield i1, min(i1 + chunk_size, n), {}
+                if n == 0:
+                    return
+            return
+        # stream each sub-dataset, rechunking to chunk_size boundaries
+        # (reference: dataset.py:238-306 chunk_rechunk)
+        pending: Dict[str, list] = {name: [] for name in columns}
+        pending_rows = 0
+        offset = 0
+
+        def flush(n):
+            nonlocal pending_rows, offset
+            out = {}
+            for name in columns:
+                parts = pending[name]
+                joined = array_types.concat(parts) if len(parts) > 1 else parts[0]
+                out[name] = array_types.slice_array(joined, 0, n)
+                rest = array_types.slice_array(joined, n, pending_rows)
+                pending[name] = [rest] if pending_rows - n else []
+            i1 = offset
+            offset += n
+            pending_rows -= n
+            return i1, offset, out
+
+        datasets = list(reversed(self.datasets)) if reverse else self.datasets
+        if reverse:
+            raise NotImplementedError("reverse iteration over concat")
+        for ds in datasets:
+            for _, _, chunks in ds.chunk_iterator(columns, chunk_size):
+                for name in columns:
+                    pending[name].append(chunks[name])
+                pending_rows += array_types.length(chunks[columns[0]]) if columns else 0
+                while pending_rows >= chunk_size:
+                    yield flush(chunk_size)
+        if pending_rows or self.row_count == 0:
+            if columns:
+                yield flush(pending_rows)
+            else:
+                yield offset, offset, {}
+
+    def fingerprint(self):
+        return fingerprint("dataset-concat", [ds.fingerprint() for ds in self.datasets])
+
+
+class DatasetFile(Dataset):
+    """Base for file-backed datasets (reference: dataset.py:1415)."""
+
+    def __init__(self, path):
+        super().__init__()
+        self.path = path
+        self._columns = {}
+        self._row_count = 0
+
+    def add_column(self, name, column):
+        self._columns[name] = column
+        self._row_count = len(column)
+
+    def fingerprint(self) -> str:
+        import os
+        stat = os.stat(self.path)
+        return fingerprint("dataset-file", str(self.path), stat.st_size, stat.st_mtime)

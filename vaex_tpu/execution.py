@@ -1,0 +1,365 @@
+"""The pass executor: one jitted SPMD step per task batch.
+
+Re-design of the reference's ``vaex/execution.py`` + ``cpu.py`` +
+``multithreading.py``.  The reference pops all queued tasks of a DataFrame,
+splits the row range into chunks and fans them over a CPU thread pool, each
+thread eval()-ing expressions per chunk and feeding C++ kernels, then
+tree-reduces per-thread state (execution.py:158-310).
+
+Here one *pass* is:
+
+1.  collect tasks, dedupe by fingerprint, consult the result cache;
+2.  classify every needed expression as device- or host-stage
+    (:func:`vaex_tpu.scopes.expression_is_device`);
+3.  build ONE traced ``step(state, tile, n_valid, aux) -> (state, outputs)``
+    closing over all device tasks — expression evaluation, filter/selection
+    masks, binning and every aggregator fuse into a single XLA program,
+    compiled once per (task structure, tile shape) and cached;
+4.  stream fixed-size tiles host->device (JAX async dispatch overlaps the
+    next chunk's host stage with device compute), calling ``step`` per tile;
+5.  finalize: fetch accumulator state, strip edges, fulfill task promises,
+    store results in the cache.
+
+Multi-device: the same step runs under ``shard_map`` over a
+``jax.sharding.Mesh`` — rows sharded across devices, each device owning a
+partial accumulator; partials are combined with the operation's ``combine``
+at finalize (replaces the reference's per-thread task parts + tree reduce).
+"""
+
+from __future__ import annotations
+
+import logging
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from . import array_types, settings
+from .datatype import DataType
+from .ops.nullable import NA
+from .ops.setops import SortedSet, DeviceSetHandle
+from .scopes import DeviceScope, HostScope, classify_leaves, expression_is_device
+from .tasks import Task, TaskAggregations
+from .utils import Signal, fingerprint
+
+logger = logging.getLogger("vaex_tpu.execution")
+
+
+class UserAbort(Exception):
+    pass
+
+
+class TileContext:
+    """Everything a task's traced ``update`` can ask for about one tile."""
+
+    def __init__(self, scope: DeviceScope, padding_valid, filter_valid, i1, n_rows):
+        self.scope = scope
+        self.padding_valid = padding_valid
+        self.filter_valid = filter_valid
+        self.row_valid = padding_valid if filter_valid is None else padding_valid & filter_valid
+        self.i1 = i1
+        self.n_rows = n_rows
+        self.row_ids = jax.lax.broadcasted_iota(jnp.int32, (n_rows, 1), 0).squeeze(-1) + i1
+        self._selection_cache = {}
+
+    def expr(self, expression) -> NA:
+        return self.scope.evaluate(str(expression))
+
+    def bool_expr(self, expression):
+        value = self.expr(expression)
+        data = value.data.astype(bool)
+        if value.mask is not None:
+            data = data & ~value.mask
+        return data
+
+    def selection_valid(self, selection):
+        """row_valid AND selection (selection given as an expression string)."""
+        if selection is None or selection is False:
+            return self.row_valid
+        key = str(selection)
+        if key not in self._selection_cache:
+            self._selection_cache[key] = self.row_valid & self.bool_expr(key)
+        return self._selection_cache[key]
+
+
+class Executor:
+    """Queue + dedupe + cache (reference: execution.py:86-129)."""
+
+    def __init__(self):
+        self.tasks = []
+        self.signal_begin = Signal("begin")
+        self.signal_progress = Signal("progress")
+        self.signal_end = Signal("end")
+        self.signal_cancel = Signal("cancel")
+        self.passes = 0
+        self._step_cache = {}
+        self.local_cache = {}
+
+    def schedule(self, task: Task):
+        self.tasks.append(task)
+        return task
+
+    def schedule_aggregation(self, df, binners, op):
+        """Merge aggregations sharing one binner stack into one task
+        (reference: execution.py:47-73 _merge)."""
+        binners = tuple(binners)
+        for task in self.tasks:
+            if (isinstance(task, TaskAggregations) and task.df is df
+                    and task.binners == binners and not task.done):
+                return task.add_subtask(op)
+        task = TaskAggregations(df, binners)
+        sub = task.add_subtask(op)
+        self.schedule(task)
+        return sub
+
+    def _pop_tasks(self):
+        """All pending tasks of one DataFrame (reference: execution.py:115-129)."""
+        if not self.tasks:
+            return None, []
+        df = self.tasks[0].df
+        picked = [t for t in self.tasks if t.df is df and not t.cancelled]
+        self.tasks = [t for t in self.tasks if t not in picked]
+        return df, picked
+
+
+class ExecutorLocal(Executor):
+    def __init__(self, mesh=None):
+        super().__init__()
+        self.mesh = mesh
+
+    # -- public -------------------------------------------------------------
+    def execute(self):
+        while self.tasks:
+            df, tasks = self._pop_tasks()
+            if not tasks:
+                break
+            self._execute_pass(df, tasks)
+
+    # -- the pass -----------------------------------------------------------
+    def _execute_pass(self, df, tasks):
+        from .cache import lookup as cache_lookup, store as cache_store
+        self.passes += 1
+        self.signal_begin.emit()
+
+        # result cache (reference: execution.py:96-109)
+        df_fp = df.fingerprint()
+        remaining = []
+        for task in tasks:
+            key = f"{task.fingerprint()}-{df_fp}"
+            hit = cache_lookup(key)
+            if hit is not None and not isinstance(task, TaskAggregations):
+                task.fulfill(hit)
+            else:
+                task._cache_key = key
+                remaining.append(task)
+        tasks = remaining
+        if not tasks:
+            self.signal_end.emit()
+            return
+
+        device_tasks = [t for t in tasks if t.device]
+        host_tasks = [t for t in tasks if not t.device]
+
+        # classify expressions; device tasks with host-only expressions get
+        # those expressions evaluated host-side and shipped as tile inputs
+        host_stage_exprs = []   # expressions computed on host, fed to device
+        device_columns = set()  # physical columns needed on device
+        set_variables = {}      # var name -> SortedSet (device probe inputs)
+        filter_expr = df._filter_expression()
+
+        def classify(expr):
+            expr = str(expr)
+            if expression_is_device(df, expr):
+                funcs, columns, variables = classify_leaves(df, expr)
+                device_columns.update(columns)
+                for v in variables:
+                    val = df.variables.get(v)
+                    if isinstance(val, SortedSet):
+                        set_variables[v] = val
+                return True
+            if expr not in host_stage_exprs:
+                host_stage_exprs.append(expr)
+            return False
+
+        for task in device_tasks:
+            for expr in task.expressions:
+                classify(expr)
+        filter_on_device = None
+        if filter_expr is not None:
+            filter_on_device = classify(filter_expr)
+
+        # host stage needs: its own exprs + all host-task exprs
+        host_columns = set()
+        host_needed = list(host_stage_exprs)
+        for task in host_tasks:
+            host_needed.extend(task.expressions)
+        for expr in host_needed:
+            _, columns, _ = classify_leaves(df, expr)
+            host_columns.update(columns)
+        if host_tasks and filter_expr is not None:
+            _, columns, _ = classify_leaves(df, filter_expr)
+            host_columns.update(columns)
+
+        need_host_scope = bool(host_needed) or bool(host_tasks)
+        all_columns = sorted(device_columns | host_columns)
+
+        # tile input order: device physical columns then host-stage results
+        tile_inputs = sorted(device_columns) + [f"__host_{i}" for i in range(len(host_stage_exprs))]
+        host_expr_by_slot = {f"__host_{i}": e for i, e in enumerate(host_stage_exprs)}
+
+        T = df._tile_rows or settings.TILE_ROWS
+        dataset = df.dataset_for_execution()
+        n_total = dataset.row_count
+
+        # initial accumulator state
+        states = [t.initial_state() for t in device_tasks]
+        states = jax.tree_util.tree_map(jnp.asarray, states)
+
+        step = None
+        if device_tasks:
+            step = self._get_step(df, device_tasks, tile_inputs, host_expr_by_slot,
+                                  set_variables, filter_expr if filter_on_device else None,
+                                  host_filter=filter_expr if filter_on_device is False else None,
+                                  tile_rows=T)
+
+        aux = {name: jnp.asarray(s.keys) for name, s in set_variables.items()}
+
+        outputs_per_task = [[] for _ in device_tasks]
+        cancelled = False
+        for i1, i2, chunks in dataset.chunk_iterator(all_columns, T):
+            n = i2 - i1
+            host_scope = HostScope(df, i1, i2, {k: chunks[k] for k in host_columns}) if need_host_scope else None
+
+            # host tasks (set builds, map-reduce)
+            if host_tasks:
+                row_valid_host = None
+                if filter_expr is not None and any(t.pre_filter for t in host_tasks):
+                    fv = host_scope.evaluate_raw(filter_expr)
+                    fdata, fmask = array_types.data_and_mask(fv)
+                    row_valid_host = fdata.astype(bool)
+                    if fmask is not None:
+                        row_valid_host &= ~fmask
+                for task in host_tasks:
+                    task.process(i1, i2, host_scope,
+                                 row_valid=row_valid_host if task.pre_filter else None)
+
+            if device_tasks:
+                tile = {}
+                host_filter_tile = None
+                for name in tile_inputs:
+                    if name in host_expr_by_slot:
+                        values = host_scope.evaluate_raw(host_expr_by_slot[name])
+                    else:
+                        values = chunks[name]
+                    data, mask = array_types.data_and_mask(values)
+                    if data.dtype.kind in "Mm":
+                        data = data.view(np.int64)
+                    if data.dtype == object:
+                        raise TypeError(f"cannot ship object column {name!r} to device; "
+                                        "string expressions must stay host-side")
+                    tile[name] = (_pad(data, T), _pad(mask, T) if mask is not None else None)
+                if filter_on_device is False and filter_expr is not None:
+                    fv = host_scope.evaluate_raw(filter_expr)
+                    fdata, fmask = array_types.data_and_mask(fv)
+                    fb = fdata.astype(bool)
+                    if fmask is not None:
+                        fb &= ~fmask
+                    host_filter_tile = _pad(fb, T)
+                states, outputs = step(states, tile, np.int32(n), np.int32(i1), aux,
+                                       host_filter_tile)
+                for idx, out in enumerate(outputs):
+                    if out is not None:
+                        outputs_per_task[idx].append((out, n))
+
+            progress = i2 / max(n_total, 1)
+            if any(result is False for result in self.signal_progress.emit(progress)):
+                cancelled = True
+                break
+
+        if cancelled:
+            self.signal_cancel.emit()
+            for task in tasks:
+                task.reject(UserAbort("user aborted"))
+            return
+
+        # finalize
+        for task, state, outputs in zip(device_tasks, states, outputs_per_task):
+            state_host = jax.tree_util.tree_map(np.asarray, state)
+            result = task.finalize(state_host, _trim_outputs(outputs))
+            if hasattr(task, "_cache_key"):
+                cache_store(task._cache_key, result)
+        for task in host_tasks:
+            result = task.get_result()
+            if hasattr(task, "_cache_key"):
+                cache_store(task._cache_key, result)
+        self.signal_end.emit()
+
+    # -- compiled step cache -------------------------------------------------
+    def _get_step(self, df, device_tasks, tile_inputs, host_expr_by_slot,
+                  set_variables, device_filter_expr, host_filter, tile_rows):
+        key = fingerprint(
+            [t.fingerprint() for t in device_tasks], tile_inputs,
+            sorted(host_expr_by_slot.items()), device_filter_expr,
+            host_filter is not None, tile_rows,
+            {k: (len(s.keys), s.has_nan, s.has_null, str(s.keys.dtype)) for k, s in set_variables.items()},
+            df._virtual_state_fingerprint(),
+            # non-set variables are baked into the trace as constants, so the
+            # cached step must be keyed on their values
+            {k: (v.fingerprint() if hasattr(v, "fingerprint") else repr(v))
+             for k, v in df.variables.items() if not isinstance(v, SortedSet)},
+        )
+        if key in self._step_cache:
+            return self._step_cache[key]
+
+        set_meta = {name: (s.n_keys, s.has_nan, s.has_null, s)
+                    for name, s in set_variables.items()}
+
+        def step(states, tile, n_valid, i1, aux, host_filter_tile):
+            T = tile[tile_inputs[0]][0].shape[0] if tile_inputs else tile_rows
+            na_tile = {}
+            for name, (data, mask) in tile.items():
+                na_tile[name] = NA(data, mask)
+                if name in host_expr_by_slot:
+                    na_tile[host_expr_by_slot[name]] = na_tile[name]
+            aux_sets = {name: DeviceSetHandle(aux[name], n_keys, has_nan, has_null, host_set=hs)
+                        for name, (n_keys, has_nan, has_null, hs) in set_meta.items()}
+            scope = DeviceScope(df, na_tile, aux_sets)
+            padding_valid = (jax.lax.broadcasted_iota(jnp.int32, (T, 1), 0).squeeze(-1)
+                             < n_valid)
+            filter_valid = None
+            if device_filter_expr is not None:
+                value = scope.evaluate(device_filter_expr)
+                filter_valid = value.data.astype(bool)
+                if value.mask is not None:
+                    filter_valid = filter_valid & ~value.mask
+            elif host_filter_tile is not None:
+                filter_valid = host_filter_tile
+            ctx = TileContext(scope, padding_valid, filter_valid, i1, T)
+            new_states = []
+            outputs = []
+            for task, state in zip(device_tasks, states):
+                new_state, out = task.update(state, ctx)
+                new_states.append(new_state)
+                outputs.append(out)
+            return new_states, outputs
+
+        jitted = jax.jit(step, donate_argnums=(0,))
+        self._step_cache[key] = jitted
+        return jitted
+
+
+def _pad(ar, T):
+    n = len(ar)
+    if n == T:
+        return np.ascontiguousarray(ar)
+    out = np.zeros(T, dtype=ar.dtype)
+    out[:n] = ar
+    return out
+
+
+def _trim_outputs(outputs):
+    """[(tree_of_arrays, n_valid), ...] -> list of host trees trimmed to n."""
+    trimmed = []
+    for out, n in outputs:
+        trimmed.append(jax.tree_util.tree_map(lambda a: np.asarray(a)[:n], out))
+    return trimmed

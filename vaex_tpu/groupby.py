@@ -1,0 +1,473 @@
+"""GroupBy / BinBy.
+
+Re-design of the reference's ``vaex/groupby.py`` (605 LoC).  The shape is the
+same multi-pass plan:
+
+* **pass 1** (per key): build a :class:`~vaex_tpu.ops.setops.SortedSet` of the
+  key values (reference: TaskSetCreate -> sharded ordered_set); here the set
+  is a sorted key array, so ``sort=True`` order (ascending, NaN group last,
+  null last — the reference's only stable order contract) is the natural
+  ordinal order and needs no re-sort pass.
+* optional **pass 2**: multi-key sparse combine — compress several key
+  ordinals into one int64 via cumulative multipliers and build a set over the
+  fused key, keeping only observed combinations (reference GrouperCombined,
+  groupby.py:171-213, 248-288).
+* **pass 3**: the aggregation pass — ordinal binners over
+  ``_ordinal_values(key, set)`` feed the fused TPU grid-aggregation step.
+"""
+
+from __future__ import annotations
+
+import collections.abc
+
+import numpy as np
+
+from . import agg as agg_module
+from .agg import AggregatorDescriptor
+from .datatype import DataType
+from .expression import Expression
+from .ops.binners import BinnerOrdinal, BinnerScalar
+from .ops.setops import RowLimitException  # noqa: F401  (re-export, reference parity)
+
+_USE_DELAY = True
+
+
+class Grouper:
+    """One groupby key (reference groupby.py:97)."""
+
+    def __init__(self, expression, df=None, sort=False, ascending=True, row_limit=None,
+                 materialize_experimental=False):
+        if isinstance(expression, Expression):
+            df = df or expression.df
+            expression = expression.expression
+        self.df = df
+        self.expression = str(expression)
+        self.sort = sort
+        self.ascending = ascending
+        self.set = df._set(self.expression, limit=row_limit)
+        self.bin_values = self.set.key_array(masked=True)
+        self.N = self.set.count
+        var = df.add_variable("grouper_set", self.set, unique=True)
+        self.binby_expression = f"_ordinal_values({self.expression}, {var})"
+        self.binner = BinnerOrdinal(self.binby_expression, 0, self.N)
+        self.sort_indices = None
+        if sort and not ascending:
+            self.sort_indices = np.arange(self.N)[::-1]
+            self.bin_values = self.bin_values[::-1]
+
+
+class GrouperCategory:
+    """Zero-pass grouper using category metadata (reference groupby.py:216)."""
+
+    def __init__(self, expression, df=None, sort=False, ascending=True, row_limit=None):
+        if isinstance(expression, Expression):
+            df = df or expression.df
+            expression = expression.expression
+        self.df = df
+        self.expression = str(expression)
+        self.sort = sort
+        self.ascending = ascending
+        labels = df.category_labels(self.expression)
+        self.N = df.category_count(self.expression)
+        self.min_value = df.category_offset(self.expression)
+        self.bin_values = np.asarray(labels)
+        meta = df._categories.get(self.expression)
+        binby_expression = self.expression
+        # a lazily ordinal-encoded column refers to its codes virtual column
+        codes = f"__{self.expression}_codes"
+        if codes in df.virtual_columns:
+            binby_expression = codes
+        self.binby_expression = binby_expression
+        self.binner = BinnerOrdinal(self.binby_expression, self.min_value, self.N)
+        self.sort_indices = None
+        if sort:
+            order = np.argsort(self.bin_values, kind="stable")
+            if not ascending:
+                order = order[::-1]
+            if not np.array_equal(order, np.arange(self.N)):
+                self.sort_indices = order
+                self.bin_values = self.bin_values[order]
+
+
+class GrouperCombined:
+    """Several groupers fused into one int64 key (reference groupby.py:171)."""
+
+    def __init__(self, groupers, df, sort=False, ascending=True, row_limit=None):
+        self.df = df
+        self.groupers = groupers
+        multipliers = np.ones(len(groupers), np.int64)
+        for i in range(len(groupers) - 2, -1, -1):
+            multipliers[i] = multipliers[i + 1] * groupers[i + 1].N
+        if np.prod([g.N for g in groupers], dtype=np.float64) >= 2**62:
+            raise ValueError("groupby key cardinality product overflows int64; "
+                             "use fewer/lower-cardinality keys")
+        parts = [f"astype({g.binby_expression}, 'int64') * {m}" if m != 1
+                 else f"astype({g.binby_expression}, 'int64')"
+                 for g, m in zip(groupers, multipliers)]
+        self.expression = " + ".join(f"({p})" for p in parts)
+        self.set = df._set(self.expression, limit=row_limit)
+        self.N = self.set.n_keys
+        var = df.add_variable("grouper_set", self.set, unique=True)
+        self.binby_expression = f"_ordinal_values({self.expression}, {var})"
+        self.binner = BinnerOrdinal(self.binby_expression, 0, self.N)
+        self.sort_indices = None
+        # decode fused keys back into per-key bin values (groupby.py:186-213)
+        fused = self.set.keys.astype(np.int64)
+        self.bin_values_per_key = []
+        for g, m in zip(groupers, multipliers):
+            ordinals = (fused // m) % g.N
+            self.bin_values_per_key.append(_take_bin_values(g.bin_values, ordinals))
+        self.bin_values = None
+
+
+def _take_bin_values(bin_values, ordinals):
+    if isinstance(bin_values, np.ma.MaskedArray):
+        return bin_values[ordinals]
+    return bin_values[ordinals]
+
+
+def _make_grouper(by, df, sort, ascending, row_limit):
+    if isinstance(by, (Grouper, GrouperCategory, GrouperCombined, BinnerTime)):
+        return by
+    name = str(by) if not isinstance(by, Expression) else by.expression
+    if df.is_category(name):
+        return GrouperCategory(name, df, sort=sort, ascending=ascending, row_limit=row_limit)
+    return Grouper(name, df, sort=sort, ascending=ascending, row_limit=row_limit)
+
+
+class BinnerTime:
+    """Datetime resolution binning (reference groupby.py:30).
+
+    Bins a datetime expression into fixed-width periods of ``resolution``
+    ('W', 'D', 'h', 'm', 's', 'M', 'Y').
+    """
+
+    def __init__(self, expression, resolution="W", df=None, every=1):
+        if isinstance(expression, Expression):
+            df = df or expression.df
+            expression = expression.expression
+        self.df = df
+        self.expression = str(expression)
+        self.resolution = resolution
+        self.every = every
+        self.sort_indices = None
+        # compute the period ordinal on host via datetime64 arithmetic
+        values = df.evaluate(self.expression, array_type="numpy")
+        from . import array_types
+        data, mask = array_types.data_and_mask(values)
+        t0 = data.min()
+        if resolution == "W":
+            # align to week start (numpy weeks epoch-aligned, like pandas resample-ish)
+            start = t0.astype("M8[W]")
+            codes = ((data.astype("M8[W]").view("i8") - start.view("i8")) // every).astype(np.int64)
+            labels = start + np.arange(codes.max() + 1) * np.timedelta64(every, "W")
+        else:
+            unit = resolution
+            start = t0.astype(f"M8[{unit}]")
+            codes = ((data.astype(f"M8[{unit}]").view("i8") - start.view("i8")) // every).astype(np.int64)
+            labels = start + np.arange(codes.max() + 1) * np.timedelta64(every, unit)
+        self.N = int(codes.max()) + 1
+        self.bin_values = labels
+        # precomputed codes become a hidden materialized column
+        col = f"__btime_{abs(hash((self.expression, resolution, every))) % 10**9}"
+        df.add_column(col, codes)
+        self.binby_expression = col
+        self.binner = BinnerOrdinal(col, 0, self.N)
+
+    @classmethod
+    def per_week(cls, expression, df=None):
+        return cls(expression, "W", df)
+
+    @classmethod
+    def per_day(cls, expression, df=None):
+        return cls(expression, "D", df)
+
+    @classmethod
+    def per_month(cls, expression, df=None):
+        return cls(expression, "M", df)
+
+    @classmethod
+    def per_year(cls, expression, df=None):
+        return cls(expression, "Y", df)
+
+
+class GroupByBase:
+    def __init__(self, df, by, sort=False, ascending=True, combine="auto", row_limit=None,
+                 copy=True):
+        self.df = df.copy() if copy else df
+        self.sort = sort
+        by = by if isinstance(by, (list, tuple)) else [by]
+        ascending_list = ascending if isinstance(ascending, (list, tuple)) else [ascending] * len(by)
+        self.by_names = []
+        groupers = []
+        for b, asc in zip(by, ascending_list):
+            g = _make_grouper(b, self.df, sort, asc, row_limit)
+            groupers.append(g)
+            self.by_names.append(_grouper_output_name(g))
+        self.combined = None
+        if len(groupers) > 1 and _should_combine(groupers, combine):
+            self.combined = GrouperCombined(groupers, self.df, sort=sort, row_limit=row_limit)
+            self.by = [self.combined]
+        else:
+            self.by = groupers
+        self.groupers = groupers
+        self.binners = tuple(g.binner for g in self.by)
+
+    @property
+    def groupby_expression(self):
+        return [g.expression for g in self.groupers]
+
+    def _parse_actions(self, actions):
+        """Reference groupby.py:345-402 semantics."""
+        out = []  # (output name or None, descriptor)
+        if isinstance(actions, collections.abc.Mapping):
+            items = list(actions.items())
+        elif isinstance(actions, (list, tuple)):
+            items = [(None, a) for a in actions]
+        else:
+            items = [(None, actions)]
+        for name, spec in items:
+            specs = spec if isinstance(spec, (list, tuple)) else [spec]
+            multiple = isinstance(spec, (list, tuple))
+            for s in specs:
+                if isinstance(s, str) and s == "count":
+                    out.append((name or "count", agg_module.count("*")))
+                    continue
+                if isinstance(s, str):
+                    s = agg_module.aggregates[s]
+                if callable(s) and not isinstance(s, AggregatorDescriptor):
+                    if name is None:
+                        for column_name in self.df.get_column_names():
+                            if column_name in self.groupby_expression:
+                                continue
+                            if column_name.startswith("__"):
+                                continue
+                            desc = s(column_name)
+                            out.append((desc.pretty_name(None, self.df), desc))
+                    else:
+                        desc = s(name)
+                        out.append((desc.pretty_name(None, self.df) if multiple else name, desc))
+                else:
+                    desc = s
+                    if name is None or multiple:
+                        base = name if (name is not None and multiple) else None
+                        out.append((desc.pretty_name(base, self.df), desc))
+                    else:
+                        out.append((name, desc))
+        return out
+
+
+def _grouper_output_name(g):
+    expr = g.expression
+    from .utils import valid_expression_name
+    return expr if valid_expression_name(expr) else expr
+
+
+def _should_combine(groupers, combine):
+    if combine is True:
+        return True
+    if combine is False:
+        return False
+    product = 1.0
+    for g in groupers:
+        product *= max(g.N, 1)
+    return product > 1_000_000
+
+
+class GroupBy(GroupByBase):
+    """df.groupby (reference groupby.py:479)."""
+
+    def agg(self, actions, delay=False):
+        from . import from_dict
+        from .delayed import delayed
+        parsed = self._parse_actions(actions)
+        promises = []
+        has_count_star = any(desc.name == "count" and desc.expression in (None, "*")
+                             for _, desc in parsed)
+        count_promise = None
+        if not has_count_star:
+            [count_promise] = agg_module.count("*").add_tasks(self.df, self.binners)
+        for name, desc in parsed:
+            desc.edges = True
+            [p] = desc.add_tasks(self.df, self.binners)
+            promises.append((name, desc, p))
+        self.df.execute()
+
+        grids = {}
+        counts = None
+        ndim = len(self.binners)
+        for name, desc, p in promises:
+            grid = np.asarray(p.get())
+            grid = agg_module.extract_central(grid, ndim)
+            grids[name] = grid
+            if desc.name == "count" and desc.expression in (None, "*"):
+                counts = grid
+        if counts is None:
+            counts = agg_module.extract_central(np.asarray(count_promise.get()), ndim)
+
+        return self._assemble(grids, counts)
+
+    def _assemble(self, grids, counts):
+        from . import from_dict
+        columns = {}
+        if self.combined is not None:
+            # sparse path: cells are exactly the observed combinations
+            for name, values in zip(self.by_names, self.combined.bin_values_per_key):
+                columns[name] = values
+            for name, grid in grids.items():
+                columns[name] = grid
+        elif len(self.by) == 1:
+            g = self.by[0]
+            bin_values = g.bin_values
+            for name, grid in grids.items():
+                if g.sort_indices is not None:
+                    grid = grid[g.sort_indices]
+                columns[self.by_names[0]] = bin_values
+                columns[name] = grid
+            if not grids:
+                columns[self.by_names[0]] = bin_values
+            # drop never-seen trailing nan/null slots is not needed: set holds
+            # only observed values
+        else:
+            # dense cartesian grid: drop empty cells using the count grid
+            # (reference groupby.py:488-529)
+            mask = counts.ravel() > 0
+            index_arrays = np.unravel_index(np.flatnonzero(mask), counts.shape)
+            for name, g, idx in zip(self.by_names, self.by, index_arrays):
+                bin_values = g.bin_values
+                if g.sort_indices is not None:
+                    inverse = np.empty_like(g.sort_indices)
+                    inverse[g.sort_indices] = np.arange(len(g.sort_indices))
+                    idx = inverse[idx]
+                columns[name] = _take_bin_values(np.asarray(bin_values) if not isinstance(bin_values, np.ma.MaskedArray) else bin_values, idx)
+            for name, grid in grids.items():
+                flat = grid.ravel() if grid.shape == counts.shape else grid.reshape(counts.shape).ravel()
+                columns[name] = flat[mask]
+        df_out = from_dict(columns)
+        if self.sort and self.combined is None and len(self.by) > 1:
+            df_out = df_out.sort(self.by_names)
+        if self.combined is not None and self.sort:
+            df_out = df_out.sort(self.by_names)
+        return df_out
+
+    def __iter__(self):
+        """Iterate (group_key, sub-DataFrame) via filters (reference groupby.py:405-442)."""
+        for i, key in enumerate(self._group_keys()):
+            yield key, self.get_group(key)
+
+    def _group_keys(self):
+        if len(self.groupers) == 1:
+            bv = self.groupers[0].bin_values
+            return [bv[i] for i in range(len(bv))]
+        return list(zip(*[g.bin_values for g in self.groupers]))
+
+    def get_group(self, key):
+        keys = key if isinstance(key, tuple) else (key,)
+        df = self.df
+        conds = []
+        for g, k in zip(self.groupers, keys):
+            if k is None or k is np.ma.masked:
+                conds.append(f"ismissing({g.expression})")
+            elif isinstance(k, str):
+                conds.append(f"({g.expression} == {k!r})")
+            elif isinstance(k, float) and np.isnan(k):
+                conds.append(f"isnan({g.expression})")
+            else:
+                conds.append(f"({g.expression} == {k!r})")
+        return df.filter(" & ".join(conds))
+
+    @property
+    def groups(self):
+        for key, df in self:
+            yield key
+
+
+class BinBy(GroupByBase):
+    """df.binby: N-d grid result (reference groupby.py:445-477).
+
+    Returns an xarray.DataArray when xarray is installed, else a lightweight
+    shim with ``.values``/``.coords``/``.dims``.
+    """
+
+    def __init__(self, df, by, limits=None, shape=128, sort=False, copy=True):
+        self.df = df.copy() if copy else df
+        self.sort = sort
+        by = by if isinstance(by, (list, tuple)) else [by]
+        self.by_names = [str(b) for b in by]
+        binners = []
+        limits_resolved = self.df.limits(self.by_names, limits) if by else []
+        if len(self.by_names) == 1 and limits_resolved and np.isscalar(limits_resolved[0]):
+            limits_resolved = [limits_resolved]
+        shapes = shape if isinstance(shape, (list, tuple)) else [shape] * len(by)
+        self.by = []
+        self.coords = []
+        for name, lim, sh in zip(self.by_names, limits_resolved, shapes):
+            if self.df.is_category(name):
+                g = GrouperCategory(name, self.df, sort=sort)
+                binners.append(g.binner)
+                self.by.append(g)
+                self.coords.append(np.asarray(g.bin_values))
+            else:
+                vmin, vmax = lim
+                binners.append(BinnerScalar(name, vmin, vmax, sh))
+                centers = np.linspace(vmin, vmax, sh + 1)[:-1] + (vmax - vmin) / sh / 2
+                self.by.append(None)
+                self.coords.append(centers)
+        self.binners = tuple(binners)
+        self.groupers = []
+
+    @property
+    def groupby_expression(self):
+        return self.by_names
+
+    def agg(self, actions, merge=False, delay=False):
+        parsed = self._parse_actions(actions)
+        promises = []
+        for name, desc in parsed:
+            desc.edges = True
+            [p] = desc.add_tasks(self.df, self.binners)
+            promises.append((name, p))
+        self.df.execute()
+        ndim = len(self.binners)
+        arrays = {}
+        for name, p in promises:
+            grid = agg_module.extract_central(np.asarray(p.get()), ndim)
+            arrays[name] = grid
+        return _to_xarray(arrays, self.by_names, self.coords)
+
+
+def _to_xarray(arrays, dims, coords):
+    try:
+        import xarray
+        if len(arrays) == 1:
+            [(name, grid)] = arrays.items()
+            return xarray.DataArray(grid, dims=dims, coords=dict(zip(dims, coords)))
+        data_vars = {name: (dims, grid) for name, grid in arrays.items()}
+        return xarray.Dataset(data_vars, coords=dict(zip(dims, coords)))
+    except ImportError:
+        if len(arrays) == 1:
+            [(name, grid)] = arrays.items()
+            return BinnedArray(grid, dims, coords)
+        return {name: BinnedArray(grid, dims, coords) for name, grid in arrays.items()}
+
+
+class BinnedArray:
+    """Minimal xarray.DataArray stand-in (values/dims/coords)."""
+
+    def __init__(self, values, dims, coords):
+        self.values = values
+        self.dims = tuple(dims)
+        self.coords = dict(zip(dims, coords))
+
+    def __array__(self, dtype=None):
+        return np.asarray(self.values, dtype=dtype)
+
+    def __getitem__(self, item):
+        return self.values[item]
+
+    @property
+    def shape(self):
+        return self.values.shape
+
+    def __repr__(self):
+        return f"BinnedArray(dims={self.dims}, shape={self.values.shape})"

@@ -1,0 +1,390 @@
+"""Sorted-set kernels: the TPU-native replacement of the reference's sharded
+C++ hashmaps (vaex-core/src/hash_primitives.hpp: ordered_set / counter /
+index_hash; hash.hpp sharded hash_common).
+
+Design: hash tables with per-shard locks do not map onto XLA's static-shape,
+lock-free SPMD model.  Instead every "set" is a *sorted* unique-key array plus
+separate NaN/null slots; probes are binary searches (``searchsorted``) which
+vectorize perfectly on the VPU and cost O(log U) per row with zero
+synchronization.  Ordinals are positions in the sorted order — which makes the
+``sort=True`` contract of the reference (ascending keys, NaN group last, null
+last; SURVEY §2.4) the *natural* order here, while the reference's unsorted
+insertion order is explicitly not a stable contract (tests compare sets).
+
+Host side builds/merges sets chunk-by-chunk with numpy; device side probes
+them inside the traced pass via :func:`device_map_ordinal` / :func:`device_isin`.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+from .. import array_types
+from ..utils import fingerprint
+
+
+class RowLimitException(Exception):
+    """Raised when a set exceeds its row limit (reference: cpu.py:197-200)."""
+
+
+def _is_float(dtype):
+    return np.dtype(dtype).kind == "f"
+
+
+def _split_special(data, mask):
+    """Split chunk into (clean values, nan_count, null_count)."""
+    null_count = 0
+    if mask is not None:
+        null_count = int(mask.sum())
+        data = data[~mask]
+    nan_count = 0
+    if _is_float(data.dtype):
+        nanmask = np.isnan(data)
+        nan_count = int(nanmask.sum())
+        if nan_count:
+            data = data[~nanmask]
+    return data, nan_count, null_count
+
+
+class SortedSet:
+    """ordered_set + counter in one (reference: hash_primitives.hpp:329-621).
+
+    ``keys`` is always sorted ascending and excludes NaN/null, which get the
+    trailing ordinals: [0, n_keys) = keys, then NaN (if any), then null (if
+    any).  With ``keep_counts=True`` it doubles as the reference's ``counter``.
+    """
+
+    def __init__(self, dtype, keep_counts=False, limit=None):
+        self.dtype = np.dtype(dtype) if not isinstance(dtype, str) or dtype != "string" else dtype
+        self.is_string = dtype == "string" or (isinstance(self.dtype, np.dtype) and self.dtype.kind in "OUS")
+        self.keys = np.empty(0, dtype=object if self.is_string else self.dtype)
+        self.keep_counts = keep_counts
+        self.counts = np.empty(0, dtype=np.int64) if keep_counts else None
+        self.nan_count = 0
+        self.null_count = 0
+        self.limit = limit
+        self._fingerprint = None
+
+    # -- construction -------------------------------------------------------
+    def update(self, values, return_inverse=False):
+        """Merge one chunk of host values into the set."""
+        data, mask = array_types.data_and_mask(values)
+        data, nan_count, null_count = _split_special(data, mask)
+        self.nan_count += nan_count
+        self.null_count += null_count
+        if self.keep_counts:
+            uniq, cnt = np.unique(data, return_counts=True)
+        else:
+            uniq = np.unique(data)
+            cnt = None
+        if len(self.keys) == 0:
+            self.keys = uniq
+            if self.keep_counts:
+                self.counts = cnt.astype(np.int64)
+        else:
+            merged = np.concatenate([self.keys, uniq])
+            if self.keep_counts:
+                merged_counts = np.concatenate([self.counts, cnt])
+                order = np.argsort(merged, kind="stable")
+                merged = merged[order]
+                merged_counts = merged_counts[order]
+                is_new = np.empty(len(merged), dtype=bool)
+                is_new[0] = True
+                is_new[1:] = merged[1:] != merged[:-1]
+                group = np.cumsum(is_new) - 1
+                self.keys = merged[is_new]
+                self.counts = np.zeros(len(self.keys), dtype=np.int64)
+                np.add.at(self.counts, group, merged_counts)
+            else:
+                self.keys = np.unique(merged)
+        if self.limit is not None and self.count > self.limit:
+            raise RowLimitException(
+                f"set grew to {self.count} unique values, which exceeds the limit of {self.limit}")
+        self._fingerprint = None
+
+    def merge(self, other: "SortedSet"):
+        self.nan_count += other.nan_count
+        self.null_count += other.null_count
+        if len(other.keys):
+            if self.keep_counts:
+                merged = np.concatenate([self.keys, other.keys])
+                merged_counts = np.concatenate([self.counts, other.counts])
+                order = np.argsort(merged, kind="stable")
+                merged, merged_counts = merged[order], merged_counts[order]
+                is_new = np.empty(len(merged), dtype=bool)
+                is_new[0] = True
+                is_new[1:] = merged[1:] != merged[:-1]
+                group = np.cumsum(is_new) - 1
+                self.keys = merged[is_new]
+                self.counts = np.zeros(len(self.keys), dtype=np.int64)
+                np.add.at(self.counts, group, merged_counts)
+            else:
+                self.keys = np.unique(np.concatenate([self.keys, other.keys]))
+        self._fingerprint = None
+
+    # -- introspection ------------------------------------------------------
+    @property
+    def has_nan(self):
+        return self.nan_count > 0
+
+    @property
+    def has_null(self):
+        return self.null_count > 0
+
+    @property
+    def n_keys(self):
+        return len(self.keys)
+
+    @property
+    def count(self):
+        """Total number of distinct values including NaN/null slots."""
+        return self.n_keys + int(self.has_nan) + int(self.has_null)
+
+    @property
+    def nan_ordinal(self):
+        return self.n_keys if self.has_nan else -1
+
+    @property
+    def null_ordinal(self):
+        return self.n_keys + int(self.has_nan) if self.has_null else -1
+
+    def key_array(self, masked=True):
+        """All keys in ordinal order; NaN/null slots included.
+
+        Returns a masked array when a null slot exists (mirrors the
+        reference's Grouper.bin_values, groupby.py:124-158).
+        """
+        if self.is_string:
+            keys = list(self.keys)
+            if self.has_nan:
+                keys.append(float("nan"))
+            values = np.asarray(keys + ([None] if self.has_null else []), dtype=object)
+            if self.has_null and masked:
+                mask = np.zeros(len(values), bool)
+                mask[-1] = True
+                return np.ma.MaskedArray(values, mask)
+            return values
+        n = self.count
+        out = np.zeros(n, dtype=self.dtype if not self.has_nan or _is_float(self.dtype) else self.dtype)
+        out[:self.n_keys] = self.keys
+        if self.has_nan:
+            out[self.nan_ordinal] = np.nan
+        if self.has_null:
+            mask = np.zeros(n, bool)
+            mask[self.null_ordinal] = True
+            if masked:
+                return np.ma.MaskedArray(out, mask)
+        return out
+
+    def fingerprint(self):
+        if self._fingerprint is None:
+            self._fingerprint = fingerprint("sorted-set", self.keys if self.keys.dtype != object
+                                            else tuple(self.keys), self.nan_count, self.null_count)
+        return self._fingerprint
+
+    # -- host probes --------------------------------------------------------
+    def map_ordinal(self, values):
+        """values -> ordinal codes (host). Unknown keys get -1."""
+        data, mask = array_types.data_and_mask(values)
+        if self.is_string:
+            lut = {k: i for i, k in enumerate(self.keys)}
+            codes = np.asarray([lut.get(v, -1) for v in data], dtype=np.int64)
+        else:
+            idx = np.searchsorted(self.keys, data)
+            idx = np.clip(idx, 0, max(self.n_keys - 1, 0))
+            found = (self.keys[idx] == data) if self.n_keys else np.zeros(len(data), bool)
+            codes = np.where(found, idx, -1).astype(np.int64)
+            if _is_float(data.dtype):
+                codes = np.where(np.isnan(data), self.nan_ordinal, codes)
+        if mask is not None:
+            codes = np.where(mask, self.null_ordinal, codes)
+        return _shrink_codes(codes, self.count)
+
+    def isin(self, values):
+        data, mask = array_types.data_and_mask(values)
+        if self.is_string:
+            lut = set(self.keys)
+            out = np.asarray([v in lut for v in data], dtype=bool)
+        else:
+            if self.n_keys:
+                idx = np.clip(np.searchsorted(self.keys, data), 0, self.n_keys - 1)
+                out = self.keys[idx] == data
+            else:
+                out = np.zeros(len(data), bool)
+            if _is_float(data.dtype) and self.has_nan:
+                out |= np.isnan(data)
+        if mask is not None:
+            out = np.where(mask, self.has_null, out)
+        return out
+
+
+def _shrink_codes(codes, count):
+    """Shrink ordinal dtype by set size (reference: hash_primitives.hpp:546-554)."""
+    for dt in (np.int8, np.int16, np.int32):
+        if count < np.iinfo(dt).max:
+            return codes.astype(dt)
+    return codes
+
+
+# ---------------------------------------------------------------------------
+# host-facing wrappers used by the expression functions
+
+
+def host_map_ordinal(oset, values):
+    if isinstance(oset, DeviceSetHandle):
+        oset = oset.host_set
+    return oset.map_ordinal(values)
+
+
+def host_isin(oset, values):
+    if isinstance(oset, DeviceSetHandle):
+        oset = oset.host_set
+    return oset.isin(values)
+
+
+# ---------------------------------------------------------------------------
+# device probes: run inside the traced pass.  The sorted key array enters the
+# trace as a runtime input (never a baked-in constant), so two groupbys with
+# equal set sizes share one compiled executable.
+
+
+class DeviceSetHandle:
+    """Trace-time view of a SortedSet: traced key array + static metadata."""
+
+    def __init__(self, keys, n_keys, has_nan, has_null, host_set=None):
+        self.keys = keys            # traced jnp array, sorted, len == n_keys (static)
+        self.n_keys = n_keys
+        self.has_nan = has_nan
+        self.has_null = has_null
+        self.host_set = host_set
+
+    @property
+    def nan_ordinal(self):
+        return self.n_keys if self.has_nan else -1
+
+    @property
+    def null_ordinal(self):
+        return self.n_keys + int(self.has_nan) if self.has_null else -1
+
+    @property
+    def count(self):
+        return self.n_keys + int(self.has_nan) + int(self.has_null)
+
+
+def device_map_ordinal(handle: DeviceSetHandle, x):
+    """NA values -> int32 ordinals on device (binary search)."""
+    data = x.data
+    if handle.n_keys:
+        idx = jnp.searchsorted(handle.keys, data).astype(jnp.int32)
+        idx = jnp.clip(idx, 0, handle.n_keys - 1)
+        found = handle.keys[idx] == data
+        codes = jnp.where(found, idx, jnp.int32(-1))
+    else:
+        codes = jnp.full(data.shape, -1, jnp.int32)
+    if jnp.issubdtype(data.dtype, jnp.floating) and handle.has_nan:
+        codes = jnp.where(jnp.isnan(data), jnp.int32(handle.nan_ordinal), codes)
+    if x.mask is not None:
+        codes = jnp.where(x.mask, jnp.int32(handle.null_ordinal), codes)
+    return codes
+
+
+def device_isin(handle: DeviceSetHandle, x):
+    data = x.data
+    if handle.n_keys:
+        idx = jnp.clip(jnp.searchsorted(handle.keys, data), 0, handle.n_keys - 1)
+        out = handle.keys[idx] == data
+    else:
+        out = jnp.zeros(data.shape, bool)
+    if jnp.issubdtype(data.dtype, jnp.floating):
+        out = jnp.where(jnp.isnan(data), bool(handle.has_nan), out)
+    if x.mask is not None:
+        out = jnp.where(x.mask, bool(handle.has_null), out)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# SortedIndex: the join index (reference: hash_primitives.hpp:624-900
+# index_hash).  keys sorted with their original row numbers; first match via
+# searchsorted, duplicate matches via the [left, right) range per key.
+
+
+class SortedIndex:
+    def __init__(self, keys, mask=None, offset=0):
+        data = np.asarray(keys)
+        self.is_string = data.dtype.kind in "OUS"
+        valid = np.ones(len(data), bool)
+        if mask is not None:
+            valid &= ~mask
+        self.null_rows = np.flatnonzero(~valid) + offset
+        vdata = data[valid]
+        vrows = np.flatnonzero(valid) + offset
+        if self.is_string:
+            order = np.argsort(vdata.astype(str), kind="stable") if len(vdata) else np.empty(0, np.int64)
+        else:
+            order = np.argsort(vdata, kind="stable")
+        self.sorted_keys = vdata[order]
+        self.sorted_rows = vrows[order].astype(np.int64)
+        self.has_duplicates = bool(len(self.sorted_keys) and
+                                   (self.sorted_keys[1:] == self.sorted_keys[:-1]).any())
+        # NaN keys never match anything (float != semantics)
+        if not self.is_string and len(self.sorted_keys) and self.sorted_keys.dtype.kind == "f":
+            n_nan = int(np.isnan(self.sorted_keys).sum())
+            if n_nan:  # nans sort last
+                self.sorted_keys = self.sorted_keys[:-n_nan]
+                self.sorted_rows = self.sorted_rows[:-n_nan]
+
+    def map_index(self, values, mask=None):
+        """First-match right-row per left value, -1 when unmatched."""
+        data = np.asarray(values)
+        n = len(self.sorted_keys)
+        if n == 0:
+            return np.full(len(data), -1, np.int64)
+        if self.is_string:
+            skeys = self.sorted_keys.astype(str)
+            idx = np.searchsorted(skeys, data.astype(str), side="left")
+        else:
+            idx = np.searchsorted(self.sorted_keys, data, side="left")
+        idx = np.clip(idx, 0, n - 1)
+        found = self.sorted_keys[idx] == data
+        if not self.is_string and data.dtype.kind == "f":
+            found &= ~np.isnan(data)
+        out = np.where(found, self.sorted_rows[idx], -1)
+        if mask is not None:
+            out = np.where(mask, -1, out)
+        return out
+
+    def map_index_duplicates(self, values, left_offset=0, mask=None):
+        """Extra matches beyond the first.
+
+        Returns (left_indices, right_rows): for every left row whose key has k
+        matches, k-1 extra pairs (reference: hash_primitives.hpp:756-848).
+        """
+        data = np.asarray(values)
+        n = len(self.sorted_keys)
+        if n == 0:
+            return np.empty(0, np.int64), np.empty(0, np.int64)
+        if self.is_string:
+            skeys = self.sorted_keys.astype(str)
+            sdata = data.astype(str)
+            lo = np.searchsorted(skeys, sdata, side="left")
+            hi = np.searchsorted(skeys, sdata, side="right")
+        else:
+            lo = np.searchsorted(self.sorted_keys, data, side="left")
+            hi = np.searchsorted(self.sorted_keys, data, side="right")
+        counts = hi - lo
+        if mask is not None:
+            counts = np.where(mask, 0, counts)
+        extra = np.maximum(counts - 1, 0)
+        total = int(extra.sum())
+        if total == 0:
+            return np.empty(0, np.int64), np.empty(0, np.int64)
+        left_idx = np.repeat(np.arange(len(data), dtype=np.int64), extra) + left_offset
+        right_rows = np.empty(total, np.int64)
+        pos = 0
+        rows_with_dups = np.flatnonzero(extra)
+        for i in rows_with_dups:
+            k = extra[i]
+            right_rows[pos:pos + k] = self.sorted_rows[lo[i] + 1:hi[i]]
+            pos += k
+        return left_idx, right_rows

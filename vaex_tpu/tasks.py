@@ -1,0 +1,284 @@
+"""Tasks: units of work executed in one pass over the data.
+
+Re-design of the reference's ``vaex/tasks.py`` + ``vaex/cpu.py`` task parts.
+The reference encodes a task, decodes one *task part per CPU thread* and
+tree-reduces; here a task contributes either to the single traced **device
+step** of the pass (``device = True``: ``initial_state`` / ``update`` /
+``finalize``) or to the **host stage** run per chunk on the CPU
+(``device = False``: ``process`` / ``get_result``).  Per-thread state and
+tree reduction disappear: SPMD accumulators live in HBM and are combined by
+XLA collectives when the pass runs over a device mesh.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .ops import setops
+from .utils import fingerprint
+
+
+class Task:
+    device = True
+    see_all = False
+
+    def __init__(self, df, expressions, name="task", pre_filter=False):
+        self.df = df
+        self.expressions = [str(e) for e in expressions]
+        self.name = name
+        self.pre_filter = pre_filter
+        self.cancelled = False
+        self.done = False
+        self.result = None
+        self.exception = None
+        self._callbacks = []
+
+    # promise-lite (replaces vaex.promise / aplus)
+    def then(self, cb):
+        if self.done:
+            cb(self.result)
+        else:
+            self._callbacks.append(cb)
+        return self
+
+    def fulfill(self, result):
+        self.result = result
+        self.done = True
+        for cb in self._callbacks:
+            cb(result)
+
+    def reject(self, exception):
+        self.exception = exception
+        self.done = True
+
+    def get(self):
+        if self.exception is not None:
+            raise self.exception
+        return self.result
+
+    def fingerprint(self):
+        return fingerprint(type(self).__name__, self.expressions, self.name,
+                           self.pre_filter, self._fingerprint_extra())
+
+    def _fingerprint_extra(self):
+        return None
+
+    # -- device protocol ----------------------------------------------------
+    def initial_state(self):
+        raise NotImplementedError
+
+    def update(self, state, ctx):
+        """Traced. Returns (new_state, per_tile_output_or_None)."""
+        raise NotImplementedError
+
+    def finalize(self, state, outputs):
+        raise NotImplementedError
+
+    # -- host protocol ------------------------------------------------------
+    def process(self, i1, i2, scope, row_valid=None):
+        raise NotImplementedError
+
+    def get_result(self):
+        raise NotImplementedError
+
+
+class TaskAggregations(Task):
+    """All aggregations of one pass that share a binner stack
+    (reference: tasks.py:332-391 + cpu.py:450-605 TaskPartAggregation).
+
+    ``subtasks`` is a list of (aggregator-operation, selection) pairs created
+    by the agg descriptors in :mod:`vaex_tpu.agg`.
+    """
+
+    def __init__(self, df, binners):
+        exprs = [b.expression for b in binners]
+        super().__init__(df, exprs, name="aggregations")
+        self.binners = tuple(binners)
+        self.subtasks = []  # AggOperation instances
+        self.subtask_promises = []
+
+    def add_subtask(self, operation):
+        self.subtasks.append(operation)
+        sub = Task(self.df, operation.expressions, name=f"agg-{operation.name}")
+        self.subtask_promises.append(sub)
+        for e in operation.expressions:
+            if e not in self.expressions:
+                self.expressions.append(e)
+        for e in operation.selection_expressions():
+            if e not in self.expressions:
+                self.expressions.append(e)
+        return sub
+
+    def _fingerprint_extra(self):
+        return ([b.fingerprint() for b in self.binners],
+                [op.fingerprint() for op in self.subtasks])
+
+    def initial_state(self):
+        from .ops.binners import grid_size
+        G = grid_size(self.binners)
+        return [op.initial_state(G) for op in self.subtasks]
+
+    def update(self, state, ctx):
+        from .ops.binners import fuse_bins
+        import jax.numpy as jnp
+        if self.binners:
+            indices = [b.to_bins(ctx.expr(b.expression)) for b in self.binners]
+            flat = fuse_bins(self.binners, indices)
+        else:
+            flat = jnp.zeros(ctx.n_rows, jnp.int32)
+        new_state = [op.update(s, flat, ctx) for op, s in zip(self.subtasks, state)]
+        return new_state, None
+
+    def finalize(self, state, outputs):
+        from .ops.binners import grid_shape
+        shape = grid_shape(self.binners)
+        results = []
+        for op, s in zip(self.subtasks, state):
+            grid = op.get_result([np.asarray(x) for x in s])
+            results.append(grid.reshape(shape + grid.shape[1:]) if self.binners else grid.reshape(shape))
+        self.fulfill(results)
+        for sub, r in zip(self.subtask_promises, results):
+            sub.fulfill(r)
+        return results
+
+
+class TaskFilterFill(Task):
+    """Materialize a boolean mask for all rows (reference: tasks.py:85).
+
+    Device task producing a per-tile boolean output; the executor stitches the
+    chunks into the DataFrame's row mask.
+    """
+
+    def __init__(self, df, expression):
+        super().__init__(df, [str(expression)], name="filter-fill")
+        self.see_all = True
+
+    def initial_state(self):
+        return ()
+
+    def update(self, state, ctx):
+        mask = ctx.bool_expr(self.expressions[0])
+        return state, mask & ctx.padding_valid
+
+    def finalize(self, state, outputs):
+        mask = np.concatenate([np.asarray(o) for o in outputs]) if outputs else np.empty(0, bool)
+        self.fulfill(mask)
+        return mask
+
+    def process(self, i1, i2, scope, row_valid=None):  # host fallback
+        import numpy as np
+        values = scope.evaluate_raw(self.expressions[0])
+        data, mask = _as_bool_host(values)
+        if not hasattr(self, "_host_parts"):
+            self._host_parts = []
+        self._host_parts.append(data if mask is None else (data & ~mask))
+
+    def get_result(self):
+        mask = np.concatenate(self._host_parts) if getattr(self, "_host_parts", None) else np.empty(0, bool)
+        self.fulfill(mask)
+        return mask
+
+
+def _as_bool_host(values):
+    from . import array_types
+    data, mask = array_types.data_and_mask(values)
+    return data.astype(bool), mask
+
+
+class TaskEvaluate(Task):
+    """Materialize expression values for all rows (df.evaluate parallel path,
+    reference dataframe.py:6013-6128)."""
+
+    def __init__(self, df, expression, pre_filter=False):
+        super().__init__(df, [str(expression)], name="evaluate", pre_filter=pre_filter)
+        self.see_all = True
+
+    def initial_state(self):
+        return ()
+
+    def update(self, state, ctx):
+        value = ctx.expr(self.expressions[0])
+        valid = ctx.row_valid if self.pre_filter else ctx.padding_valid
+        return state, (value.data, value.maskarray(), valid)
+
+    def finalize(self, state, outputs):
+        datas, masks = [], []
+        for d, m, v in outputs:
+            d, m, v = np.asarray(d), np.asarray(m), np.asarray(v)
+            datas.append(d[v])
+            masks.append(m[v])
+        data = np.concatenate(datas) if datas else np.empty(0)
+        mask = np.concatenate(masks) if masks else np.empty(0, bool)
+        result = np.ma.MaskedArray(data, mask) if mask.any() else data
+        self.fulfill(result)
+        return result
+
+
+class TaskSetCreate(Task):
+    """Build a SortedSet of an expression's values (reference: tasks.py:99 +
+    cpu.py:118-232 TaskPartSetCreate).  Host task: chunk uniques are merged
+    into one sorted key array (device build path: ops/setops docstring)."""
+
+    device = False
+
+    def __init__(self, df, expression, keep_counts=False, limit=None, pre_filter=True):
+        super().__init__(df, [str(expression)], name="set-create", pre_filter=pre_filter)
+        self.keep_counts = keep_counts
+        self.limit = limit
+        self.set = None
+
+    def _fingerprint_extra(self):
+        return (self.keep_counts, self.limit)
+
+    def process(self, i1, i2, scope, row_valid=None):
+        values = scope.evaluate_raw(self.expressions[0])
+        from . import array_types
+        data, mask = array_types.data_and_mask(values)
+        if row_valid is not None:
+            data = data[row_valid]
+            mask = mask[row_valid] if mask is not None else None
+        if self.set is None:
+            kind = data.dtype
+            dtype = "string" if kind.kind in "OUS" else kind
+            self.set = setops.SortedSet(dtype, keep_counts=self.keep_counts, limit=self.limit)
+        self.set.update(np.ma.MaskedArray(data, mask) if mask is not None else data)
+
+    def get_result(self):
+        if self.set is None:
+            self.set = setops.SortedSet(np.dtype("float64"), keep_counts=self.keep_counts)
+        self.fulfill(self.set)
+        return self.set
+
+
+class TaskMapReduce(Task):
+    """Generic host map over chunks + reduce (reference: tasks.py:121)."""
+
+    device = False
+
+    def __init__(self, df, expressions, map_fn, reduce_fn=None, name="map-reduce",
+                 pre_filter=False, info=False):
+        super().__init__(df, expressions, name=name, pre_filter=pre_filter)
+        self.map_fn = map_fn
+        self.reduce_fn = reduce_fn
+        self.info = info
+        self.parts = []
+
+    def _fingerprint_extra(self):
+        return (id(self.map_fn), id(self.reduce_fn))  # not cacheable across runs
+
+    def process(self, i1, i2, scope, row_valid=None):
+        values = [scope.evaluate_raw(e) for e in self.expressions]
+        if row_valid is not None:
+            values = [v[row_valid] for v in values]
+        if self.info:
+            self.parts.append(self.map_fn(i1, i2, *values))
+        else:
+            self.parts.append(self.map_fn(*values))
+
+    def get_result(self):
+        result = self.parts
+        if self.reduce_fn is not None:
+            import functools
+            result = functools.reduce(self.reduce_fn, self.parts) if self.parts else None
+        self.fulfill(result)
+        return result
