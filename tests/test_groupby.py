@@ -1,0 +1,143 @@
+"""GroupBy semantics (reference tests/groupby_test.py)."""
+
+import numpy as np
+import numpy.testing as npt
+import pytest
+
+import vaex_tpu as vt
+
+
+def test_groupby_single_key_sum(df):
+    dfg = df.groupby("g", agg={"x": "sum"}, sort=True)
+    assert dfg["g"].tolist() == [0, 1, 2]
+    npt.assert_allclose(dfg["x"].tolist(), [0 + 1 + 2 + 3, 4 + 5 + 6 + 7, 8 + 9])
+
+
+def test_groupby_count(df):
+    dfg = df.groupby("g", agg="count", sort=True)
+    assert dfg["count"].tolist() == [4, 4, 2]
+
+
+def test_groupby_agg_forms(df_local):
+    df = df_local
+    dfg = df.groupby("g", agg={"z": vt.agg.sum("x")}, sort=True)
+    npt.assert_allclose(dfg["z"].tolist(), [6, 22, 17])
+    dfg = df.groupby("g", agg=[vt.agg.sum("x")], sort=True)
+    npt.assert_allclose(dfg["x_sum"].tolist(), [6, 22, 17])
+    dfg = df.groupby("g", agg=[vt.agg.sum("x"), vt.agg.mean("x")], sort=True)
+    assert "x_sum" in dfg.get_column_names()
+    assert "x_mean" in dfg.get_column_names()
+    dfg = df.groupby("g", agg={"z": [vt.agg.sum("x"), vt.agg.mean("x")]}, sort=True)
+    assert "z_sum" in dfg.get_column_names()
+    assert "z_mean" in dfg.get_column_names()
+
+
+def test_groupby_string_key(df_local):
+    df = df_local
+    dfg = df.groupby("name", agg="count", sort=True)
+    # names: n0 for x%3==0 (0,3,6,9), n1 (1,4,7), n2 (2,5,8)
+    assert dfg["name"].tolist() == ["n0", "n1", "n2"]
+    assert dfg["count"].tolist() == [4, 3, 3]
+
+
+def test_groupby_missing_key(df_local):
+    df = df_local
+    dfg = df.groupby("m", agg="count", sort=True)
+    # m: values 2..9 present once each; 2 missing -> null group last
+    keys = dfg["m"].tolist()
+    assert keys[-1] is None
+    assert dfg["count"].tolist() == [1] * 8 + [2]
+
+
+def test_groupby_nan_key(df_local):
+    df = df_local
+    dfg = df.groupby("f", agg="count", sort=True)
+    keys = dfg["f"].tolist()
+    assert np.isnan(keys[-1])
+    assert dfg["count"].tolist() == [1] * 9 + [1]
+
+
+def test_groupby_multi_key(df_local):
+    df = df_local
+    df2 = vt.from_arrays(
+        a=np.array([0, 0, 1, 1, 0], dtype="i8"),
+        b=np.array([0, 1, 0, 1, 0], dtype="i8"),
+        v=np.arange(5, dtype="f8"),
+    )
+    dfg = df2.groupby(["a", "b"], agg={"v": "sum"}, sort=True)
+    assert dfg["a"].tolist() == [0, 0, 1, 1]
+    assert dfg["b"].tolist() == [0, 1, 0, 1]
+    npt.assert_allclose(dfg["v"].tolist(), [0 + 4, 1, 2, 3])
+
+
+def test_groupby_multi_key_sparse(df_local):
+    # only observed combinations appear (reference groupby.py:488-529)
+    df2 = vt.from_arrays(
+        a=np.array([0, 0, 5, 5], dtype="i8"),
+        b=np.array([1, 1, 9, 9], dtype="i8"),
+    )
+    dfg = df2.groupby(["a", "b"], agg="count", sort=True)
+    assert len(dfg) == 2
+    assert dfg["count"].tolist() == [2, 2]
+
+
+def test_groupby_expression_key(df_local):
+    df = df_local
+    dfg = df.groupby("g * 2", agg="count", sort=True)
+    assert len(dfg) == 3
+    assert dfg["count"].tolist() == [4, 4, 2]
+
+
+def test_groupby_row_limit(df_local):
+    df = df_local
+    with pytest.raises(vt.RowLimitException):
+        df.groupby("x", row_limit=5)
+
+
+def test_groupby_category(df_local):
+    df = df_local.categorize("g", labels=[0, 1, 2])
+    passes0 = df.executor.passes
+    dfg = df.groupby("g", agg="count", sort=True)
+    # category grouper needs no set-build pass: only the aggregation pass ran
+    assert df.executor.passes == passes0 + 1
+    assert dfg["count"].tolist() == [4, 4, 2]
+
+
+def test_groupby_mean_min_max(df):
+    dfg = df.groupby("g", agg={"mean": vt.agg.mean("x"), "mn": vt.agg.min("x"),
+                               "mx": vt.agg.max("x")}, sort=True)
+    npt.assert_allclose(dfg["mean"].tolist(), [1.5, 5.5, 8.5])
+    npt.assert_allclose(dfg["mn"].tolist(), [0, 4, 8])
+    npt.assert_allclose(dfg["mx"].tolist(), [3, 7, 9])
+
+
+def test_groupby_nunique(df_local):
+    df = df_local
+    dfg = df.groupby("g", agg={"u": vt.agg.nunique("name")}, sort=True)
+    # g=0 rows: names n0,n1,n2,n0 -> 3; g=1: n1,n2,n0,n1 -> 3; g=2: n2,n0 -> 2
+    assert dfg["u"].tolist() == [3, 3, 2]
+
+
+def test_groupby_iterator(df_local):
+    df = df_local
+    gb = df.groupby("g", sort=True)
+    seen = {}
+    for key, sub in gb:
+        seen[key] = len(sub)
+    assert seen == {0: 4, 1: 4, 2: 2}
+
+
+def test_binby_agg(df_local):
+    df = df_local
+    result = df.binby("x", agg="count", limits=[[0, 10]], shape=5)
+    npt.assert_array_equal(np.asarray(result), [2, 2, 2, 2, 2])
+
+
+def test_binner_time():
+    t = np.arange("2015-01-01", "2015-02-01", dtype="M8[D]")
+    y = np.arange(len(t), dtype="f8")
+    df = vt.from_arrays(t=t, y=y)
+    by = vt.BinnerTime.per_week(df.t)
+    dfg = df.groupby(by, agg={"y": "sum"})
+    expected = [y[k * 7:(k + 1) * 7].sum() for k in range(5)]
+    npt.assert_allclose(dfg["y"].tolist(), expected)

@@ -1,0 +1,99 @@
+"""IO round-trips: hdf5, parquet, arrow, feather, csv, json
+(reference: export_test.py, hdf5_test.py, from_csv_test.py)."""
+
+import numpy as np
+import numpy.testing as npt
+import pytest
+
+import vaex_tpu as vt
+
+
+@pytest.fixture
+def df_src():
+    x = np.arange(10, dtype="f8")
+    return vt.from_arrays(
+        x=x,
+        i=np.arange(10, dtype="i8"),
+        m=np.ma.MaskedArray(x.copy(), x < 2),
+        name=np.asarray([f"s{int(v)}" for v in x], dtype=object),
+        t=np.arange("2015-01-01", "2015-01-11", dtype="M8[D]"),
+    )
+
+
+@pytest.mark.parametrize("ext", ["hdf5", "parquet", "arrow", "feather", "csv"])
+def test_roundtrip(df_src, tmp_path, ext):
+    path = str(tmp_path / f"out.{ext}")
+    df_src.export(path)
+    df = vt.open(path)
+    assert len(df) == 10
+    npt.assert_allclose(np.asarray(df["x"].tolist(), dtype="f8"), np.arange(10.0))
+    assert df["i"].tolist() == list(range(10))
+    if ext != "csv":  # csv loses null/string typing nuances
+        m = df["m"].tolist()
+        assert m[0] is None or np.isnan(m[0])
+        assert df["name"].tolist()[3] == "s3"
+
+
+def test_hdf5_mmap_lazy(df_src, tmp_path):
+    path = str(tmp_path / "lazy.hdf5")
+    df_src.export_hdf5(path)
+    df = vt.open(path)
+    assert df.sum("x") == np.arange(10.0).sum()
+    # datetime preserved
+    assert str(np.asarray(df["t"].tolist()[0]))[:10] == "2015-01-01"
+
+
+def test_open_many_concat(df_src, tmp_path):
+    p1 = str(tmp_path / "a.hdf5")
+    p2 = str(tmp_path / "b.hdf5")
+    df_src.export_hdf5(p1)
+    df_src.export_hdf5(p2)
+    df = vt.open_many([p1, p2])
+    assert len(df) == 20
+    assert df.sum("x") == 2 * np.arange(10.0).sum()
+
+
+def test_from_pandas():
+    import pandas as pd
+    pdf = pd.DataFrame({"a": [1, 2, 3], "b": ["x", "y", "z"]})
+    df = vt.from_pandas(pdf)
+    assert df["a"].tolist() == [1, 2, 3]
+    assert df["b"].tolist() == ["x", "y", "z"]
+
+
+def test_from_csv(tmp_path):
+    path = str(tmp_path / "in.csv")
+    with open(path, "w") as f:
+        f.write("a,b\n1,2.5\n3,4.5\n")
+    df = vt.from_csv(path)
+    assert df["a"].tolist() == [1, 3]
+    npt.assert_allclose(df["b"].tolist(), [2.5, 4.5])
+
+
+def test_csv_convert(tmp_path):
+    path = str(tmp_path / "in.csv")
+    with open(path, "w") as f:
+        f.write("a\n1\n2\n")
+    df = vt.from_csv(path, convert=True)
+    import os
+    assert os.path.exists(path + ".hdf5")
+    assert df["a"].tolist() == [1, 2]
+
+
+def test_parquet_lazy_chunks(df_src, tmp_path):
+    path = str(tmp_path / "chunked.parquet")
+    df_src.export_parquet(path)
+    df = vt.open(path)
+    df._tile_rows = 3  # force multi-tile streaming through row groups
+    assert df.count() == 10
+    assert df.sum("x") == np.arange(10.0).sum()
+
+
+def test_export_json(df_src, tmp_path):
+    path = str(tmp_path / "out.json")
+    df_src[["x", "i"]].export(path)
+    import json
+    with open(path) as f:
+        records = json.load(f)
+    assert len(records) == 10
+    assert records[0]["i"] == 0

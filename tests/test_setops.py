@@ -1,0 +1,83 @@
+"""unique / nunique / value_counts / isin (reference tests/unique_test.py,
+value_counts_test.py, isin_test.py).  NaN and null are distinct keys
+(SURVEY §2.4); unsorted order is not a contract — compare as sets."""
+
+import numpy as np
+import numpy.testing as npt
+import pytest
+
+import vaex_tpu as vt
+
+
+def test_unique(df):
+    assert set(df.unique("g")) == {0, 1, 2}
+    vals = df.unique("m")
+    non_null = [v for v in vals if v is not None]
+    assert set(non_null) == set(range(2, 10))
+    assert None in vals  # null is a key
+    vals = df.unique("f")
+    assert any(v is not None and np.isnan(v) for v in vals)  # nan is a key
+
+
+def test_unique_drop(df_local):
+    df = df_local
+    vals = df.unique("m", dropmissing=True)
+    assert None not in vals
+    vals = df.unique("f", dropnan=True)
+    assert not any(v is not None and np.isnan(v) for v in vals)
+
+
+def test_unique_strings(df):
+    assert set(df.unique("name")) == {"n0", "n1", "n2"}
+
+
+def test_nunique(df_local):
+    df = df_local
+    assert df["g"].nunique() == 3
+    assert df["m"].nunique() == 9          # 8 values + null
+    assert df["m"].nunique(dropmissing=True) == 8
+    assert df["f"].nunique() == 10         # 9 values + nan
+    assert df["f"].nunique(dropnan=True) == 9
+    assert df["name"].nunique() == 3
+
+
+def test_value_counts(df_local):
+    df = df_local
+    vc = df["g"].value_counts()
+    assert vc.to_dict() == {0: 4, 1: 4, 2: 2}
+    vc = df["m"].value_counts()
+    assert vc["missing"] == 2
+    vc = df["m"].value_counts(dropmissing=True)
+    assert "missing" not in vc.index
+    vc = df["name"].value_counts()
+    assert vc.to_dict() == {"n0": 4, "n1": 3, "n2": 3}
+
+
+def test_isin(df):
+    expr = df["g"].isin([0, 2])
+    values = expr.evaluate(array_type="numpy")
+    expected = np.isin(np.array([0, 0, 0, 0, 1, 1, 1, 1, 2, 2]), [0, 2])
+    npt.assert_array_equal(np.asarray(values, bool), expected)
+
+
+def test_isin_strings(df_local):
+    df = df_local
+    expr = df["name"].isin(["n1"])
+    values = np.asarray(expr.evaluate(array_type="numpy"), bool)
+    assert values.sum() == 3
+
+
+def test_isin_count(df):
+    assert df.count(selection=str(df["g"].isin([1]))) == 4
+
+
+def test_expression_map(df_local):
+    df = df_local
+    e = df["g"].map({0: 10, 1: 20, 2: 30})
+    assert e.tolist() == [10, 10, 10, 10, 20, 20, 20, 20, 30, 30]
+
+
+def test_unique_limit(df_local):
+    df = df_local
+    with pytest.raises(vt.RowLimitException):
+        df.unique("x", limit=3)

@@ -119,7 +119,7 @@ class OpMin(AggOperation):
     name = "min"
 
     def initial_state(self, G):
-        dt = DataType(self.dtype_in).numpy
+        dt = DataType(self.dtype_in).device  # datetimes ride as int64
         return (np.full(G, gridagg.min_identity(dt), dt),)
 
     def update(self, state, flat_idx, ctx):
@@ -127,14 +127,14 @@ class OpMin(AggOperation):
         return (gridagg.grid_min(state[0], flat_idx, x, self._valid(ctx)),)
 
     def get_result(self, state):
-        return state[0]
+        return _view_logical(state[0], self.dtype_in)
 
 
 class OpMax(AggOperation):
     name = "max"
 
     def initial_state(self, G):
-        dt = DataType(self.dtype_in).numpy
+        dt = DataType(self.dtype_in).device
         return (np.full(G, gridagg.max_identity(dt), dt),)
 
     def update(self, state, flat_idx, ctx):
@@ -142,7 +142,16 @@ class OpMax(AggOperation):
         return (gridagg.grid_max(state[0], flat_idx, x, self._valid(ctx)),)
 
     def get_result(self, state):
-        return state[0]
+        return _view_logical(state[0], self.dtype_in)
+
+
+def _view_logical(grid, dtype_in):
+    """View int64 grids back as the logical datetime/timedelta dtype
+    (reference: datetime mean via uint64 view cast back, agg.py:176-186)."""
+    dt = DataType(dtype_in)
+    if dt.is_datetime or dt.is_timedelta:
+        return grid.view(dt.numpy)
+    return grid
 
 
 class OpFirst(AggOperation):
@@ -186,7 +195,8 @@ class OpNUniquePresence(AggOperation):
                            self.dropnan, self.dropmissing)
 
     def initial_state(self, G):
-        return (np.zeros(G * max(self.n_values, 1), bool), np.zeros(G, np.int64))
+        n = self.n_values if self.n_values > 1 else 1
+        return (np.zeros(G * n, bool), np.zeros(G, np.int64))
 
     def update(self, state, flat_idx, ctx):
         import jax.numpy as jnp
@@ -380,7 +390,7 @@ class AggregatorDescriptorNUnique(AggregatorDescriptor):
         oset = df._set(self.expression)
         var_name = df.add_variable("set_nunique", oset, unique=True)
         ordinal_expr = f"_ordinal_values({self.expression}, {var_name})"
-        op = OpNUniquePresence([self.expression], ordinal_expr, oset.count,
+        op = OpNUniquePresence([], ordinal_expr, oset.count,
                                dropna=self.dropna, dropnan=self.dropnan,
                                dropmissing=self.dropmissing, selection=self.selection,
                                dtype_in=self._input_dtype(df))

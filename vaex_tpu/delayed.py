@@ -14,6 +14,7 @@ class Promise:
         self.result = None
         self.exception = None
         self._callbacks = []
+        self._error_callbacks = []
 
     def fulfill(self, value):
         self.result = value
@@ -25,13 +26,20 @@ class Promise:
     def reject(self, exception):
         self.exception = exception
         self.done = True
+        for cb in self._error_callbacks:
+            cb(exception)
         return self
 
-    def then(self, cb):
+    def then(self, cb, on_error=None):
         if self.done and self.exception is None:
             cb(self.result)
+        elif self.done and self.exception is not None:
+            if on_error is not None:
+                on_error(self.exception)
         else:
             self._callbacks.append(cb)
+            if on_error is not None:
+                self._error_callbacks.append(on_error)
         return self
 
     def get(self):
@@ -82,7 +90,7 @@ def delayed(f):
                     finish()
 
             for p in promises:
-                p.then(cb)
+                p.then(cb, on_error=out.reject)
         return out
 
     return wrapped

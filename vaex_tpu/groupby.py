@@ -366,6 +366,8 @@ class GroupBy(GroupByBase):
         df = self.df
         conds = []
         for g, k in zip(self.groupers, keys):
+            if isinstance(k, np.generic):
+                k = k.item()
             if k is None or k is np.ma.masked:
                 conds.append(f"ismissing({g.expression})")
             elif isinstance(k, str):

@@ -83,7 +83,11 @@ class ParquetDataset(DatasetFile):
             return i1, offset, out
 
         if self._row_count == 0 or not columns:
-            yield 0, self._row_count, {name: self._columns[name][0:0] for name in columns}
+            n = self._row_count
+            for i1 in range(0, max(n, 1), chunk_size):
+                yield i1, min(i1 + chunk_size, n), {}
+                if n == 0:
+                    return
             return
         for batch in self._file.iter_batches(columns=list(columns)):
             for name in columns:

@@ -55,6 +55,10 @@ class Hdf5Dataset(DatasetFile):
 
     def _map_array(self, ds, mask_ds):
         """Map by file offset (reference hdf5/dataset.py:246 _map_hdf5_array)."""
+        if h5py.check_string_dtype(ds.dtype):
+            import pyarrow as pa
+            data = ds.asstr()[:]
+            return pa.array([None if v is None else str(v) for v in data])
         offset = ds.id.get_offset()
         if offset is None or ds.compression is not None:
             data = ds[:]

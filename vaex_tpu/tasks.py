@@ -18,43 +18,20 @@ from .ops import setops
 from .utils import fingerprint
 
 
-class Task:
+from .delayed import Promise
+
+
+class Task(Promise):
     device = True
     see_all = False
 
     def __init__(self, df, expressions, name="task", pre_filter=False):
+        super().__init__()
         self.df = df
         self.expressions = [str(e) for e in expressions]
         self.name = name
         self.pre_filter = pre_filter
         self.cancelled = False
-        self.done = False
-        self.result = None
-        self.exception = None
-        self._callbacks = []
-
-    # promise-lite (replaces vaex.promise / aplus)
-    def then(self, cb):
-        if self.done:
-            cb(self.result)
-        else:
-            self._callbacks.append(cb)
-        return self
-
-    def fulfill(self, result):
-        self.result = result
-        self.done = True
-        for cb in self._callbacks:
-            cb(result)
-
-    def reject(self, exception):
-        self.exception = exception
-        self.done = True
-
-    def get(self):
-        if self.exception is not None:
-            raise self.exception
-        return self.result
 
     def fingerprint(self):
         return fingerprint(type(self).__name__, self.expressions, self.name,
@@ -112,6 +89,13 @@ class TaskAggregations(Task):
     def _fingerprint_extra(self):
         return ([b.fingerprint() for b in self.binners],
                 [op.fingerprint() for op in self.subtasks])
+
+    def reject(self, exception):
+        super().reject(exception)
+        for sub in self.subtask_promises:
+            if not sub.done:
+                sub.reject(exception)
+        return self
 
     def initial_state(self):
         from .ops.binners import grid_size
