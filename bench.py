@@ -1,0 +1,71 @@
+"""Benchmark: single-key int64 groupby (sum + count) throughput per chip.
+
+BASELINE config 1 (BASELINE.md / reference benchmarks/groupby.py): groupby
+sum/count over a 1e7-row table with an int64 key of cardinality 100.  The
+reference's headline claim is >1e9 rows/s for categorical-key groupby on a
+CPU workstation (README.md:60); vs_baseline is measured against that.
+
+The table is staged device-resident (df.to_device()) so the number measures
+the fused binning+aggregation kernel path, mirroring the reference whose data
+sits in RAM/page cache.  Prints ONE JSON line.
+
+Env knobs: VAEX_TPU_BENCH_N (rows), VAEX_TPU_BENCH_K (cardinality),
+VAEX_TPU_BENCH_REPS.
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    N = int(float(os.environ.get("VAEX_TPU_BENCH_N", 1e7)))
+    K = int(os.environ.get("VAEX_TPU_BENCH_K", 100))
+    reps = int(os.environ.get("VAEX_TPU_BENCH_REPS", 5))
+
+    import vaex_tpu as vt
+    from vaex_tpu import cache
+
+    rng = np.random.default_rng(42)
+    keys = rng.integers(0, K, N).astype(np.int64)
+    x = rng.random(N)
+
+    df = vt.from_arrays(i1=keys, x=x)
+    df = df.categorize("i1", labels=list(range(K)))
+    df = df.to_device()
+    df._tile_rows = min(1 << 22, max(1 << 16, N))
+
+    def run():
+        return df.groupby("i1", agg={"s": vt.agg.sum("x"), "c": "count"}, sort=True)
+
+    with cache.off():
+        result = run()  # warmup + compile
+        # correctness check against numpy
+        expected_counts = np.bincount(keys, minlength=K)
+        got_counts = np.asarray(result["c"].tolist())
+        assert got_counts.tolist() == expected_counts.tolist(), "count mismatch"
+        expected_sums = np.bincount(keys, weights=x, minlength=K)
+        np.testing.assert_allclose(np.asarray(result["s"].tolist()), expected_sums)
+
+        times = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            run()
+            times.append(time.perf_counter() - t0)
+
+    best = min(times)
+    rows_per_s = N / best
+    baseline = 1e9  # reference claim: >1e9 rows/s categorical groupby
+    print(json.dumps({
+        "metric": "groupby_sum_count_rows_per_s",
+        "value": rows_per_s,
+        "unit": "rows/s",
+        "vs_baseline": rows_per_s / baseline,
+    }))
+
+
+if __name__ == "__main__":
+    main()

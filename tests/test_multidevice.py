@@ -1,0 +1,74 @@
+"""SPMD execution over the 8-virtual-device CPU mesh — the stand-in for a TPU
+pod slice (SURVEY §4: single-process multi-device simulation replaces the
+reference's in-process websocket server trick)."""
+
+import numpy as np
+import numpy.testing as npt
+import pytest
+
+import vaex_tpu as vt
+
+
+@pytest.fixture
+def dist_df():
+    import jax
+    if len(jax.devices()) < 2:
+        pytest.skip("needs multiple devices")
+    from vaex_tpu.parallel import distributed_executor
+    df = vt.from_arrays(
+        x=np.arange(100, dtype="f8"),
+        g=np.arange(100, dtype="i8") % 7,
+        m=np.ma.MaskedArray(np.arange(100, dtype="f8"), np.arange(100) < 5),
+    )
+    df.executor = distributed_executor()
+    df._tile_rows = 16
+    return df
+
+
+def test_spmd_stats(dist_df):
+    df = dist_df
+    X = np.arange(100.0)
+    assert df.count() == 100
+    assert df.sum("x") == X.sum()
+    npt.assert_allclose(df.mean("x"), X.mean())
+    assert df.min("x") == 0 and df.max("x") == 99
+    assert df.count("m") == 95
+    npt.assert_allclose(df.std("x"), X.std())
+
+
+def test_spmd_groupby(dist_df):
+    df = dist_df
+    X = np.arange(100.0)
+    dfg = df.groupby("g", agg={"s": vt.agg.sum("x"), "c": "count"}, sort=True)
+    expected = [X[np.arange(100) % 7 == k].sum() for k in range(7)]
+    npt.assert_allclose(dfg["s"].tolist(), expected)
+    assert sum(dfg["c"].tolist()) == 100
+
+
+def test_spmd_filter(dist_df):
+    df = dist_df.filter("x >= 50")
+    assert len(df) == 50
+    assert df.sum("x") == np.arange(50, 100).sum()
+
+
+def test_spmd_binby(dist_df):
+    counts = dist_df.count(binby=["x"], limits=[[0, 100]], shape=10)
+    npt.assert_array_equal(counts, [10] * 10)
+
+
+def test_spmd_first(dist_df):
+    assert dist_df.first("x", "-x") == 99.0
+
+
+def test_spmd_evaluate(dist_df):
+    values = np.asarray(dist_df.evaluate("x * 2"))
+    npt.assert_allclose(values, np.arange(100.0) * 2)
+
+
+def test_spmd_matches_single_device(dist_df):
+    df_single = vt.from_arrays(x=np.arange(100, dtype="f8"),
+                               g=np.arange(100, dtype="i8") % 7)
+    for sel in [None, "x > 30"]:
+        a = dist_df.sum("x", selection=sel or False)
+        b = df_single.sum("x", selection=sel or False)
+        assert a == b

@@ -62,6 +62,13 @@ class AggOperation:
     def get_result(self, state):
         raise NotImplementedError
 
+    def merge(self, state, delta, axis_name):
+        """Fold one tile's per-device delta into the replicated state across
+        a mesh axis (the SPMD replacement of the reference's per-thread
+        task-part tree reduce, execution.py:276-287).  Default: additive."""
+        import jax
+        return tuple(s + jax.lax.psum(d, axis_name) for s, d in zip(state, delta))
+
 
 class OpCount(AggOperation):
     name = "count"
@@ -79,6 +86,17 @@ class OpCount(AggOperation):
     def get_result(self, state):
         return state[0]
 
+    def additive_column(self, ctx):
+        import jax.numpy as jnp
+        valid = self._valid(ctx)
+        if self.expressions:
+            x = ctx.expr(self.expressions[0])
+            valid = gridagg.value_valid(x, valid)
+        return valid.astype(jnp.float64)
+
+    def apply_additive(self, state, grid_col):
+        return (state[0] + grid_col.astype(state[0].dtype),)
+
 
 class OpSum(AggOperation):
     name = "sum"
@@ -92,6 +110,15 @@ class OpSum(AggOperation):
 
     def get_result(self, state):
         return state[0]
+
+    def additive_column(self, ctx):
+        import jax.numpy as jnp
+        x = ctx.expr(self.expressions[0])
+        valid = gridagg.value_valid(x, self._valid(ctx))
+        return jnp.where(valid, x.data, jnp.zeros((), x.data.dtype)).astype(jnp.float64)
+
+    def apply_additive(self, state, grid_col):
+        return (state[0] + grid_col.astype(state[0].dtype),)
 
 
 class OpSumMoment(AggOperation):
@@ -114,6 +141,16 @@ class OpSumMoment(AggOperation):
     def get_result(self, state):
         return state[0]
 
+    def additive_column(self, ctx):
+        import jax.numpy as jnp
+        x = ctx.expr(self.expressions[0])
+        valid = gridagg.value_valid(x, self._valid(ctx))
+        v = x.data.astype(jnp.float64)
+        return jnp.where(valid, v ** self.moment, jnp.zeros((), jnp.float64))
+
+    def apply_additive(self, state, grid_col):
+        return (state[0] + grid_col.astype(state[0].dtype),)
+
 
 class OpMin(AggOperation):
     name = "min"
@@ -129,6 +166,25 @@ class OpMin(AggOperation):
     def get_result(self, state):
         return _view_logical(state[0], self.dtype_in)
 
+    def merge(self, state, delta, axis_name):
+        import jax
+        import jax.numpy as jnp
+        return (jnp.minimum(state[0], jax.lax.pmin(delta[0], axis_name)),)
+
+    extreme_mode = "min"
+
+    def extreme_column(self, ctx):
+        import jax.numpy as jnp
+        x = ctx.expr(self.expressions[0])
+        valid = gridagg.value_valid(x, self._valid(ctx))
+        dt = DataType(self.dtype_in).device
+        fill = jnp.asarray(gridagg.min_identity(dt), dt)
+        return jnp.where(valid, x.data.astype(dt), fill)
+
+    def apply_extreme(self, state, grid_col):
+        import jax.numpy as jnp
+        return (jnp.minimum(state[0], grid_col.astype(state[0].dtype)),)
+
 
 class OpMax(AggOperation):
     name = "max"
@@ -143,6 +199,25 @@ class OpMax(AggOperation):
 
     def get_result(self, state):
         return _view_logical(state[0], self.dtype_in)
+
+    def merge(self, state, delta, axis_name):
+        import jax
+        import jax.numpy as jnp
+        return (jnp.maximum(state[0], jax.lax.pmax(delta[0], axis_name)),)
+
+    extreme_mode = "max"
+
+    def extreme_column(self, ctx):
+        import jax.numpy as jnp
+        x = ctx.expr(self.expressions[0])
+        valid = gridagg.value_valid(x, self._valid(ctx))
+        dt = DataType(self.dtype_in).device
+        fill = jnp.asarray(gridagg.max_identity(dt), dt)
+        return jnp.where(valid, x.data.astype(dt), fill)
+
+    def apply_extreme(self, state, grid_col):
+        import jax.numpy as jnp
+        return (jnp.maximum(state[0], grid_col.astype(state[0].dtype)),)
 
 
 def _view_logical(grid, dtype_in):
@@ -169,7 +244,26 @@ class OpFirst(AggOperation):
         return (vg, og)
 
     def get_result(self, state):
-        return state[0]
+        return _view_logical(state[0], self.dtype_in)
+
+    def merge(self, state, delta, axis_name):
+        """Order-aware: the device holding the globally-minimal order wins;
+        ties resolve to the lowest device index."""
+        import jax
+        import jax.numpy as jnp
+        value, order = state
+        dvalue, dorder = delta
+        global_order = jax.lax.pmin(dorder, axis_name)
+        my_idx = jax.lax.axis_index(axis_name)
+        big = jnp.int32(2 ** 30)
+        winner_idx = jax.lax.pmin(jnp.where(dorder == global_order, my_idx.astype(jnp.int32), big),
+                                  axis_name)
+        is_winner = (dorder == global_order) & (winner_idx == my_idx)
+        contribution = jax.lax.psum(jnp.where(is_winner, dvalue, jnp.zeros((), dvalue.dtype)),
+                                    axis_name)
+        take_new = global_order < order
+        return (jnp.where(take_new, contribution, value),
+                jnp.minimum(order, global_order))
 
 
 class OpNUniquePresence(AggOperation):
@@ -212,6 +306,14 @@ class OpNUniquePresence(AggOperation):
         flat = jnp.where(valid, flat, G * self.n_values)
         presence = presence.at[flat].set(True, mode="drop")
         return (presence, _counts)
+
+    def merge(self, state, delta, axis_name):
+        import jax
+        import jax.numpy as jnp
+        presence, counts = state
+        dpresence, _ = delta
+        merged = jax.lax.psum(dpresence.astype(jnp.int32), axis_name) > 0
+        return (presence | merged, counts)
 
     def get_result(self, state):
         presence = state[0].reshape(-1, self.n_values)

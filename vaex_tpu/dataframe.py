@@ -157,8 +157,22 @@ class DataFrame:
             self.column_names.append(name)
 
     def add_virtual_column(self, name, expression):
+        from . import expresso
         name = find_valid_name(name)
-        self.virtual_columns[name] = str(expression)
+        expression = str(expression)
+        refers_self = name in expresso.collect_names(expression)
+        if refers_self and name in self.virtual_columns:
+            # substitute the old definition so x = x*2 means double the old x
+            expression = expresso.substitute(expression, {name: f"({self.virtual_columns[name]})"})
+        elif refers_self and name in self.dataset:
+            # shadowing a physical column: rename it out of the way so the new
+            # virtual column may reference the original data (reference
+            # dataframe.py add_virtual_column rename semantics)
+            hidden = find_valid_name(f"__{name}", used=self.column_names)
+            self.dataset = self.dataset.renamed({name: hidden})
+            self.column_names.append(hidden)
+            expression = expresso.translate(expression, lambda n: hidden if n == name else None)
+        self.virtual_columns[name] = expression
         if name not in self.column_names:
             self.column_names.append(name)
         return name
@@ -1152,6 +1166,32 @@ class DataFrame:
                           f"fillna({name}, {value!r})"]
         return df
 
+    def to_device(self, column_names=None):
+        """Stage columns into device HBM (device-resident table).
+
+        The executor skips host->device transfer for jnp-backed columns, so
+        repeated queries run at kernel speed — the TPU analogue of the
+        reference's in-RAM mmap'd columns.  Strings/objects stay host-side.
+        """
+        import jax.numpy as jnp
+        names = column_names or self.get_column_names(virtual=False, hidden=True)
+        columns = {}
+        for name in names:
+            if name not in self.dataset:
+                continue
+            col = self.dataset[name]
+            values = array_types.to_numpy(col[:]) if hasattr(col, "__getitem__") else col
+            if isinstance(values, np.ma.MaskedArray) or (
+                    isinstance(values, np.ndarray) and values.dtype.kind in "OUSMm"):
+                columns[name] = col  # keep host-side
+            elif isinstance(values, np.ndarray):
+                columns[name] = jnp.asarray(values)
+            else:
+                columns[name] = col
+        df = self._rebind_dataset(DatasetArrays(columns), keep_filter=True)
+        df.column_names = list(self.column_names)
+        return df
+
     def materialize(self, column=None, inplace=False):
         """Evaluate virtual columns into real arrays (reference dataframe.py:4633)."""
         df = self if inplace else self.copy()
@@ -1161,6 +1201,24 @@ class DataFrame:
             del df.virtual_columns[name]
             df.add_column(name, values if not isinstance(values, np.ndarray) else values)
         return df
+
+    # ------------------------------------------------------------ shift ops
+    def shift(self, periods, column=None, fill_value=None, trim=False, inplace=False):
+        from .shift import shift as _shift
+        return _shift(self, periods, column=column, fill_value=fill_value, trim=trim,
+                      inplace=inplace)
+
+    def diff(self, periods=1, column=None, fill_value=None, trim=False, inplace=False,
+             reverse=False):
+        from .shift import diff as _diff
+        return _diff(self, periods=periods, column=column, fill_value=fill_value,
+                     trim=trim, inplace=inplace, reverse=reverse)
+
+    def rolling(self, window, trim=False, column=None, fill_value=None, edge="right"):
+        from .shift import Rolling
+        columns = [column] if isinstance(column, str) else column
+        return Rolling(self, window, trim=trim, fill_value=fill_value, edge=edge,
+                       columns=columns)
 
     # ------------------------------------------------------------- groupby
     def groupby(self, by=None, agg=None, sort=False, ascending=True, assume_sparse="auto",

@@ -50,16 +50,22 @@ class UserAbort(Exception):
 
 
 class TileContext:
-    """Everything a task's traced ``update`` can ask for about one tile."""
+    """Everything a task's traced ``update`` can ask for about one tile.
 
-    def __init__(self, scope: DeviceScope, padding_valid, filter_valid, i1, n_rows):
+    ``local_offset`` is this device's row offset inside the (logically
+    whole) tile when running under shard_map; 0 on a single device.
+    """
+
+    def __init__(self, scope: DeviceScope, padding_valid, filter_valid, i1, n_rows,
+                 local_offset=0):
         self.scope = scope
         self.padding_valid = padding_valid
         self.filter_valid = filter_valid
         self.row_valid = padding_valid if filter_valid is None else padding_valid & filter_valid
         self.i1 = i1
         self.n_rows = n_rows
-        self.row_ids = jax.lax.broadcasted_iota(jnp.int32, (n_rows, 1), 0).squeeze(-1) + i1
+        self.row_ids = (jax.lax.broadcasted_iota(jnp.int32, (n_rows, 1), 0).squeeze(-1)
+                        + i1 + local_offset)
         self._selection_cache = {}
 
     def expr(self, expression) -> NA:
@@ -208,6 +214,9 @@ class ExecutorLocal(Executor):
         host_expr_by_slot = {f"__host_{i}": e for i, e in enumerate(host_stage_exprs)}
 
         T = df._tile_rows or settings.TILE_ROWS
+        if self.mesh is not None and self.mesh.size > 1:
+            from .utils import round_up
+            T = round_up(T, self.mesh.size)
         dataset = df.dataset_for_execution()
         n_total = dataset.row_count
 
@@ -251,6 +260,10 @@ class ExecutorLocal(Executor):
                         values = host_scope.evaluate_raw(host_expr_by_slot[name])
                     else:
                         values = chunks[name]
+                    if isinstance(values, jnp.ndarray):
+                        # device-resident column (df.to_device()): no host copy
+                        tile[name] = (_pad(values, T), None)
+                        continue
                     data, mask = array_types.data_and_mask(values)
                     if data.dtype.kind in "Mm":
                         data = data.view(np.int64)
@@ -313,9 +326,16 @@ class ExecutorLocal(Executor):
 
         set_meta = {name: (s.n_keys, s.has_nan, s.has_null, s)
                     for name, s in set_variables.items()}
+        mesh = self.mesh
+        spmd = mesh is not None and mesh.size > 1
+        axis_name = mesh.axis_names[0] if spmd else None
 
         def step(states, tile, n_valid, i1, aux, host_filter_tile):
-            T = tile[tile_inputs[0]][0].shape[0] if tile_inputs else tile_rows
+            T = tile[tile_inputs[0]][0].shape[0] if tile_inputs else (
+                tile_rows // mesh.size if spmd else tile_rows)
+            local_offset = 0
+            if spmd:
+                local_offset = jax.lax.axis_index(axis_name).astype(jnp.int32) * T
             na_tile = {}
             for name, (data, mask) in tile.items():
                 na_tile[name] = NA(data, mask)
@@ -325,7 +345,7 @@ class ExecutorLocal(Executor):
                         for name, (n_keys, has_nan, has_null, hs) in set_meta.items()}
             scope = DeviceScope(df, na_tile, aux_sets)
             padding_valid = (jax.lax.broadcasted_iota(jnp.int32, (T, 1), 0).squeeze(-1)
-                             < n_valid)
+                             + local_offset < n_valid)
             filter_valid = None
             if device_filter_expr is not None:
                 value = scope.evaluate(device_filter_expr)
@@ -334,22 +354,58 @@ class ExecutorLocal(Executor):
                     filter_valid = filter_valid & ~value.mask
             elif host_filter_tile is not None:
                 filter_valid = host_filter_tile
-            ctx = TileContext(scope, padding_valid, filter_valid, i1, T)
+            ctx = TileContext(scope, padding_valid, filter_valid, i1, T,
+                              local_offset=local_offset)
             new_states = []
             outputs = []
             for task, state in zip(device_tasks, states):
-                new_state, out = task.update(state, ctx)
+                if spmd and isinstance(task, TaskAggregations):
+                    new_state, out = task.update_spmd(state, ctx, axis_name)
+                else:
+                    new_state, out = task.update(state, ctx)
                 new_states.append(new_state)
                 outputs.append(out)
             return new_states, outputs
 
-        jitted = jax.jit(step, donate_argnums=(0,))
+        if spmd:
+            from jax.sharding import PartitionSpec as P
+            shard = jax.shard_map if hasattr(jax, "shard_map") else None
+            if shard is None:  # pragma: no cover - older jax
+                from jax.experimental.shard_map import shard_map as shard
+            dname = axis_name
+            sharded = shard(
+                step, mesh=mesh,
+                in_specs=(P(), {k: P(dname) for k in tile_inputs}, P(), P(), P(),
+                          P(dname)),
+                out_specs=(P(), P(dname)),
+                check_vma=False,
+            )
+            jitted0 = jax.jit(sharded, donate_argnums=(0,))
+
+            def call(states, tile, n_valid, i1, aux, host_filter_tile):
+                if host_filter_tile is None:
+                    # shard_map can't take None for a sharded leaf: substitute
+                    # an all-true mask (filter handled on device or absent)
+                    host_filter_tile = _TRUE_TILE.setdefault(
+                        tile_rows, np.ones(tile_rows, bool))
+                return jitted0(states, tile, jnp.asarray(n_valid), jnp.asarray(i1),
+                               aux, host_filter_tile)
+            jitted = call
+        else:
+            jitted = jax.jit(step, donate_argnums=(0,))
         self._step_cache[key] = jitted
         return jitted
 
 
+_TRUE_TILE = {}
+
+
 def _pad(ar, T):
     n = len(ar)
+    if isinstance(ar, jnp.ndarray):
+        if n == T:
+            return ar
+        return jnp.concatenate([ar, jnp.zeros(T - n, ar.dtype)])
     if n == T:
         return np.ascontiguousarray(ar)
     out = np.zeros(T, dtype=ar.dtype)

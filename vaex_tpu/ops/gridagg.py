@@ -101,6 +101,111 @@ def grid_first(value_grid, order_grid, idx, x, order, valid, row_offset, row_ids
     return new_value_grid, new_order_grid
 
 
+# ---------------------------------------------------------------------------
+# One-hot MXU strategy: for small grids the scatter becomes a matmul.
+#
+# XLA's scatter-add serializes conflicting indices on TPU (~3.5M rows/s
+# measured); the TPU-native formulation rides the MXU instead: stream row
+# blocks, build a BLOCK x G one-hot in VMEM, and matmul it against a
+# BLOCK x A matrix holding ALL additive aggregator columns at once
+# (count -> ones, sum -> masked values, moments -> masked powers), so one
+# pass over the rows feeds every aggregator — exactly like the reference's
+# Grid::bin C++ block loop (agg.hpp:106-136), but on the systolic array.
+#
+# f64 fidelity on TPU (whose MXU is f32-class): values are split hi/lo into
+# two f32 matmuls per block and re-combined in an f64 carry; per-block f32
+# accumulation over <=BLOCK rows keeps the error ~eps_f32 * sqrt(BLOCK) per
+# block, independent errors across blocks (~1e-8 relative overall).
+
+
+FUSED_BLOCK = 8192
+
+
+def _pad_rows(a, n_pad):
+    if n_pad == 0:
+        return a
+    pad_width = [(0, n_pad)] + [(0, 0)] * (a.ndim - 1)
+    return jnp.pad(a, pad_width)
+
+
+def fused_additive(idx, cols, G, block=FUSED_BLOCK):
+    """Sum cols [N, A] into grids [G, A] keyed by idx [N] (idx == G drops).
+
+    Returns float64 [G, A]; callers cast per-aggregator output dtype.
+    """
+    import jax
+    N, A = cols.shape
+    block = min(block, max(256, 1 << (N - 1).bit_length()))
+    nb = -(-N // block)
+    n_pad = nb * block - N
+    idx_p = _pad_rows(idx, n_pad) if n_pad else idx
+    if n_pad:
+        idx_p = idx_p.at[N:].set(G)  # padded rows drop
+    cols_p = _pad_rows(cols, n_pad)
+    idx_b = idx_p.reshape(nb, block)
+    cols_b = cols_p.reshape(nb, block, A)
+    bins = jax.lax.broadcasted_iota(jnp.int32, (1, G), 1)
+
+    f64 = cols.dtype == jnp.float64
+
+    import jax
+    highest = jax.lax.Precision.HIGHEST  # full-f32 MXU passes; default bf16
+    def body(carry, inp):
+        ib, cb = inp
+        onehot = (ib[:, None] == bins).astype(jnp.float32)  # block x G
+        if f64:
+            hi = cb.astype(jnp.float32)
+            lo = (cb - hi.astype(jnp.float64)).astype(jnp.float32)
+            partial = (jnp.matmul(onehot.T, hi, preferred_element_type=jnp.float32,
+                                  precision=highest).astype(jnp.float64)
+                       + jnp.matmul(onehot.T, lo, preferred_element_type=jnp.float32,
+                                    precision=highest).astype(jnp.float64))
+        else:
+            partial = jnp.matmul(onehot.T, cb.astype(jnp.float32),
+                                 preferred_element_type=jnp.float32,
+                                 precision=highest).astype(jnp.float64)
+        return carry + partial, None
+
+    init = jnp.zeros((G, A), jnp.float64)
+    out, _ = jax.lax.scan(body, init, (idx_b, cols_b))
+    return out
+
+
+def fused_extreme(idx, cols, G, mode, block=FUSED_BLOCK):
+    """Per-bin min (or max) of cols [N, Am] keyed by idx [N] (idx == G drops).
+
+    Returns [G, Am] in the cols dtype; empty cells keep the identity fill
+    (dtype max/min, the reference's empty-bin convention superagg.cpp:199-250).
+    """
+    import jax
+    N, Am = cols.shape
+    block = min(block, max(256, 1 << (N - 1).bit_length()))
+    nb = -(-N // block)
+    n_pad = nb * block - N
+    fill = min_identity(cols.dtype) if mode == "min" else max_identity(cols.dtype)
+    idx_p = _pad_rows(idx, n_pad) if n_pad else idx
+    if n_pad:
+        idx_p = idx_p.at[N:].set(G)
+    cols_p = _pad_rows(cols, n_pad)
+    if n_pad:
+        cols_p = cols_p.at[N:].set(jnp.asarray(fill, cols.dtype))
+    idx_b = idx_p.reshape(nb, block)
+    cols_b = cols_p.reshape(nb, block, Am)
+    bins = jax.lax.broadcasted_iota(jnp.int32, (1, G), 1)
+    reduce = jnp.min if mode == "min" else jnp.max
+    combine = jnp.minimum if mode == "min" else jnp.maximum
+
+    def body(carry, inp):
+        ib, cb = inp
+        onehot = ib[:, None] == bins  # block x G bool
+        masked = jnp.where(onehot[:, :, None], cb[:, None, :], jnp.asarray(fill, cols.dtype))
+        return combine(carry, reduce(masked, axis=0)), None
+
+    init = jnp.full((G, Am), fill, cols.dtype)
+    out, _ = jax.lax.scan(body, init, (idx_b, cols_b))
+    return out
+
+
 def min_identity(dtype):
     dtype = np.dtype(dtype)
     if dtype.kind == "f":

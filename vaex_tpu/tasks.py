@@ -102,16 +102,72 @@ class TaskAggregations(Task):
         G = grid_size(self.binners)
         return [op.initial_state(G) for op in self.subtasks]
 
+    # grids larger than these fall back to the scatter strategy (the one-hot
+    # matmul moves O(block x G) bytes; see ops/gridagg.py strategy notes)
+    FUSED_ADDITIVE_MAX_G = 2048
+    FUSED_EXTREME_MAX_G = 512
+
     def update(self, state, ctx):
+        import jax.numpy as jnp
+        from .ops import gridagg
+        from .ops.binners import grid_size
+        flat = self._flat_indices(ctx)
+        G = grid_size(self.binners)
+        new_state = list(state)
+        done = [False] * len(self.subtasks)
+
+        additive = [i for i, op in enumerate(self.subtasks)
+                    if hasattr(op, "additive_column")] if G <= self.FUSED_ADDITIVE_MAX_G else []
+        if additive:
+            cols = jnp.stack([self.subtasks[i].additive_column(ctx) for i in additive], axis=1)
+            grids = gridagg.fused_additive(flat, cols, G)
+            for k, i in enumerate(additive):
+                new_state[i] = self.subtasks[i].apply_additive(state[i], grids[:, k])
+                done[i] = True
+
+        if G <= self.FUSED_EXTREME_MAX_G:
+            for mode in ("min", "max"):
+                group = [i for i, op in enumerate(self.subtasks)
+                         if getattr(op, "extreme_mode", None) == mode]
+                # one fused pass per (mode, dtype)
+                by_dtype = {}
+                for i in group:
+                    col = self.subtasks[i].extreme_column(ctx)
+                    by_dtype.setdefault(col.dtype, []).append((i, col))
+                for dtype, items in by_dtype.items():
+                    cols = jnp.stack([c for _, c in items], axis=1)
+                    grids = gridagg.fused_extreme(flat, cols, G, mode)
+                    for k, (i, _) in enumerate(items):
+                        new_state[i] = self.subtasks[i].apply_extreme(state[i], grids[:, k])
+                        done[i] = True
+
+        for i, op in enumerate(self.subtasks):
+            if not done[i]:
+                new_state[i] = op.update(state[i], flat, ctx)
+        return new_state, None
+
+    def update_spmd(self, state, ctx, axis_name):
+        """Per-device: aggregate the local row shard into a zero grid, then
+        merge into the replicated state with the op's collective (psum/pmin/
+        pmax) — replaces the reference's per-thread parts + tree reduce."""
+        import jax.numpy as jnp
+        from .ops.binners import grid_size
+        flat = self._flat_indices(ctx)
+        G = grid_size(self.binners)
+        new_state = []
+        for op, s in zip(self.subtasks, state):
+            zero = tuple(jnp.asarray(z) for z in op.initial_state(G))
+            delta = op.update(zero, flat, ctx)
+            new_state.append(tuple(op.merge(tuple(s), tuple(delta), axis_name)))
+        return new_state, None
+
+    def _flat_indices(self, ctx):
         from .ops.binners import fuse_bins
         import jax.numpy as jnp
         if self.binners:
             indices = [b.to_bins(ctx.expr(b.expression)) for b in self.binners]
-            flat = fuse_bins(self.binners, indices)
-        else:
-            flat = jnp.zeros(ctx.n_rows, jnp.int32)
-        new_state = [op.update(s, flat, ctx) for op, s in zip(self.subtasks, state)]
-        return new_state, None
+            return fuse_bins(self.binners, indices)
+        return jnp.zeros(ctx.n_rows, jnp.int32)
 
     def finalize(self, state, outputs):
         from .ops.binners import grid_shape
