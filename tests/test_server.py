@@ -1,0 +1,119 @@
+"""Remote dataframe tests via in-process transport + a real tornado server
+(reference tests/common.py:63-145 webserver fixtures + dummy_client)."""
+
+import numpy as np
+import numpy.testing as npt
+import pytest
+
+import vaex_tpu as vt
+from vaex_tpu.server.client import Client
+from vaex_tpu.server.service import Service, DummyTransport
+
+X = np.arange(10, dtype="f8")
+
+
+@pytest.fixture
+def remote_df():
+    df = vt.from_arrays(x=X.copy(), y=X ** 2, g=np.arange(10, dtype="i8") % 3)
+    service = Service({"test": df})
+    client = Client(DummyTransport(service))
+    return client["test"]
+
+
+def test_list(remote_df):
+    assert remote_df.column_names == ["x", "y", "g"]
+    assert len(remote_df) == 10
+
+
+def test_remote_stats(remote_df):
+    assert remote_df.count() == 10
+    assert remote_df.sum("x") == X.sum()
+    npt.assert_allclose(remote_df.mean("y"), (X ** 2).mean())
+    npt.assert_array_equal(remote_df.minmax("x"), [0, 9])
+
+
+def test_remote_binby(remote_df):
+    counts = remote_df.count(binby=["x"], limits=[[0, 10]], shape=5)
+    npt.assert_array_equal(counts, [2, 2, 2, 2, 2])
+
+
+def test_remote_virtual_column(remote_df):
+    remote_df["v"] = remote_df.x * 2
+    assert remote_df.sum("v") == 2 * X.sum()
+
+
+def test_remote_selection(remote_df):
+    assert remote_df.count(selection="x > 4") == 5
+
+
+def test_remote_filter(remote_df):
+    dff = remote_df.filter("x > 4")
+    assert len(dff) == 5
+    assert dff.sum("x") == X[X > 4].sum()
+
+
+def test_remote_evaluate(remote_df):
+    values = remote_df.evaluate("x * 2")
+    npt.assert_allclose(np.asarray(values), X * 2)
+
+
+def test_remote_unique(remote_df):
+    assert set(remote_df.unique("g", array_type="numpy").tolist()) == {0, 1, 2}
+
+
+def test_remote_huge_virtual_range():
+    # "1e9-row server tests are free" (reference tests/common.py:111-115)
+    df = vt.vrange(0, 1_000_000_000)
+    df._tile_rows = 1 << 22
+    service = Service({"huge": df})
+    client = Client(DummyTransport(service))
+    dfr = client["huge"]
+    assert len(dfr) == 1_000_000_000
+
+
+def test_remote_method_not_allowed(remote_df):
+    with pytest.raises(RuntimeError):
+        remote_df._rmi("state_set", {})
+
+
+def test_real_tornado_server():
+    tornado = pytest.importorskip("tornado")
+    import asyncio
+    import json
+    import threading
+    import time
+
+    from vaex_tpu.server.tornado_server import make_app
+
+    df = vt.from_arrays(x=X.copy())
+    service = Service({"test": df})
+    port = 19876
+    started = threading.Event()
+    loop_holder = {}
+
+    def run():
+        asyncio.set_event_loop(asyncio.new_event_loop())
+        app = make_app(service)
+        app.listen(port)
+        loop_holder["loop"] = tornado.ioloop.IOLoop.current()
+        started.set()
+        loop_holder["loop"].start()
+
+    t = threading.Thread(target=run, daemon=True)
+    t.start()
+    started.wait(5)
+    time.sleep(0.2)
+    try:
+        from vaex_tpu.server import connect
+        client = connect(f"ws://localhost:{port}/websocket")
+        dfr = client["test"]
+        assert dfr.sum("x") == X.sum()
+        client.close()
+        # REST histogram endpoint
+        import urllib.request
+        with urllib.request.urlopen(
+                f"http://localhost:{port}/histogram/test?expression=x&shape=5&min=0&max=10") as r:
+            payload = json.loads(r.read())
+        assert payload["counts"] == [2, 2, 2, 2, 2]
+    finally:
+        loop_holder["loop"].add_callback(loop_holder["loop"].stop)

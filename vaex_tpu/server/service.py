@@ -1,0 +1,114 @@
+"""Server-side service: executes remote calls against registered DataFrames.
+
+Re-design of the reference's ``vaex-server/service.py`` (Service /
+AsyncThreadedService).  The reference decodes serialized *tasks* and schedules
+them on a server-side executor; here the unit is a *method call* + the
+client's DataFrame state — the same observable surface with a much smaller
+wire protocol, since all heavy state (sets, masks) is derivable server-side
+and cached by fingerprint.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .. import encoding as enc
+
+
+# methods a client may invoke on a served DataFrame
+ALLOWED_METHODS = {
+    "count", "sum", "mean", "std", "var", "min", "max", "minmax", "first",
+    "nunique", "limits", "limits_percentage", "percentile_approx",
+    "median_approx", "covar", "correlation", "mode", "unique", "evaluate",
+    "__len__", "data_type",
+}
+# methods that need trusted mode (arbitrary expressions are fine; pickled
+# functions are not — reference websocket.py token-trusted gate)
+TRUSTED_METHODS = {"add_function"}
+
+
+def encode_result(value):
+    if isinstance(value, (np.ndarray, np.ma.MaskedArray)):
+        return {"kind": "array", "data": enc._encode_array(value)}
+    if isinstance(value, np.generic):
+        return {"kind": "scalar", "dtype": str(value.dtype), "value": value.item()}
+    if isinstance(value, (list, tuple)):
+        return {"kind": "list", "items": [encode_result(v) for v in value]}
+    if isinstance(value, dict):
+        return {"kind": "dict", "items": {k: encode_result(v) for k, v in value.items()}}
+    return {"kind": "json", "value": value}
+
+
+def decode_result(spec):
+    kind = spec["kind"]
+    if kind == "array":
+        return enc._decode_array(spec["data"])
+    if kind == "scalar":
+        return np.dtype(spec["dtype"]).type(spec["value"])
+    if kind == "list":
+        return [decode_result(v) for v in spec["items"]]
+    if kind == "dict":
+        return {k: decode_result(v) for k, v in spec["items"].items()}
+    return spec["value"]
+
+
+class Service:
+    def __init__(self, dataframes: dict, trusted=False):
+        self.dataframes = dict(dataframes)
+        self.trusted = trusted
+
+    def list_dataframes(self):
+        out = {}
+        for name, df in self.dataframes.items():
+            out[name] = {
+                "row_count": df.length_original(),
+                "column_names": df.get_column_names(),
+                "dtypes": {c: str(df.data_type(c).name) for c in df.get_column_names()},
+            }
+        return out
+
+    def call(self, df_name, method, args, kwargs, state=None):
+        if df_name not in self.dataframes:
+            raise KeyError(f"no such dataframe: {df_name!r}")
+        if method not in ALLOWED_METHODS:
+            raise PermissionError(f"method {method!r} not allowed")
+        df = self.dataframes[df_name].copy()
+        if state:
+            df.state_set(state)
+        if method == "__len__":
+            return len(df)
+        result = getattr(df, method)(*args, **kwargs)
+        from ..array_types import to_numpy
+        if hasattr(result, "internal"):  # DataType
+            result = str(result.name)
+        try:
+            import pyarrow as pa
+            if isinstance(result, (pa.Array, pa.ChunkedArray)):
+                result = to_numpy(result)
+        except ImportError:
+            pass
+        return result
+
+
+class DummyTransport:
+    """In-process client<->service wiring for tests (reference: dummy.py +
+    tests/common.py:139-145 dummy_client)."""
+
+    def __init__(self, service: Service):
+        self.service = service
+
+    def request(self, msg):
+        import traceback
+        try:
+            command = msg["command"]
+            if command == "list":
+                return {"result": encode_result(self.service.list_dataframes())}
+            if command == "call":
+                value = self.service.call(msg["df"], msg["method"],
+                                          decode_result(msg.get("args", {"kind": "list", "items": []})),
+                                          decode_result(msg.get("kwargs", {"kind": "dict", "items": {}})),
+                                          state=msg.get("state"))
+                return {"result": encode_result(value)}
+            raise ValueError(f"unknown command {command!r}")
+        except Exception as e:  # noqa: BLE001 - errors cross the wire
+            return {"error": str(e), "traceback": traceback.format_exc()}
