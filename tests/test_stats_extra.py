@@ -1,0 +1,95 @@
+"""describe / mutual_information / stat algebra / covar / correlation /
+percentile / geo accessor."""
+
+import numpy as np
+import numpy.testing as npt
+import pytest
+
+import vaex_tpu as vt
+from vaex_tpu import stat
+
+X = np.arange(10, dtype="f8")
+
+
+def test_describe(df_local):
+    desc = df_local.describe()
+    assert desc.loc["count", "x"] == 10
+    assert desc.loc["count", "m"] == 8
+    assert desc.loc["NA", "m"] == 2
+    npt.assert_allclose(desc.loc["mean", "x"], X.mean())
+
+
+def test_stat_algebra(df_local):
+    df = df_local
+    expr = stat.mean("x") + 2 * stat.std("x")
+    value = expr.calculate(df)
+    npt.assert_allclose(value, X.mean() + 2 * X.std())
+    ratio = stat.sum("y") / stat.count("y")
+    npt.assert_allclose(ratio.calculate(df), (X ** 2).mean())
+
+
+def test_covar_correlation(df_local):
+    df = df_local
+    x, y = X, X ** 2
+    npt.assert_allclose(df.covar("x", "y"), ((x - x.mean()) * (y - y.mean())).mean())
+    expected_corr = np.corrcoef(x, y)[0, 1]
+    npt.assert_allclose(df.correlation("x", "y"), expected_corr, rtol=1e-6)
+
+
+def test_cov_matrix(df_local):
+    C = df_local.cov(["x", "y"])
+    assert C.shape == (2, 2)
+    npt.assert_allclose(C[0, 0], X.var())
+
+
+def test_percentile_median(df_local):
+    df = df_local
+    m = df.median_approx("x")
+    assert abs(m - np.median(X)) < 0.6
+    p = df.percentile_approx("x", 25.0)
+    assert abs(p - np.percentile(X, 25)) < 0.7
+
+
+def test_mutual_information(df_local):
+    df = df_local
+    mi_self = df.mutual_information("g", "g", mi_shape=8)
+    mi_indep = df.mutual_information("x", "m", mi_shape=8)
+    assert mi_self > 0.5  # identical variables share all information
+
+
+def test_limits_percentage(df_local):
+    lo, hi = df_local.limits_percentage("x", 100.0)
+    assert lo <= 0.1 and hi >= 8.9
+
+
+def test_mode(df_local):
+    df = vt.from_arrays(x=np.array([1.0, 2.0, 2.0, 2.0, 3.0]))
+    assert abs(df.mode("x") - 2.0) < 0.2
+
+
+def test_geo_polar(df_local):
+    df = vt.from_arrays(x=np.array([1.0, 0.0]), y=np.array([0.0, 1.0]))
+    df.geo.cartesian2polar()
+    npt.assert_allclose(df["polar_radius"].tolist(), [1.0, 1.0])
+    npt.assert_allclose(df["polar_azimuth"].tolist(), [0.0, 90.0])
+
+
+def test_geo_spherical_roundtrip():
+    df = vt.from_arrays(alpha=np.array([10.0, 120.0]), delta=np.array([5.0, -30.0]),
+                        r=np.array([2.0, 3.0]))
+    df.geo.spherical2cartesian("alpha", "delta", "r")
+    df.geo.cartesian2spherical(alpha="alpha2", delta="delta2", distance="r2")
+    npt.assert_allclose(df["alpha2"].tolist(), [10.0, 120.0], atol=1e-10)
+    npt.assert_allclose(df["delta2"].tolist(), [5.0, -30.0], atol=1e-10)
+    npt.assert_allclose(df["r2"].tolist(), [2.0, 3.0])
+
+
+def test_geo_inside_polygon():
+    df = vt.from_arrays(x=np.array([0.5, 2.0]), y=np.array([0.5, 2.0]))
+    e = df.geo.inside_polygon("x", "y", [0, 1, 1, 0], [0, 0, 1, 1])
+    assert np.asarray(e.evaluate(array_type="numpy"), bool).tolist() == [True, False]
+
+
+def test_first_last_style(df_local):
+    # first by order expression on device
+    assert df_local.first("x", "y") == 0.0

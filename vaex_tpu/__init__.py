@@ -35,6 +35,8 @@ from . import cache  # noqa: E402,F401
 from . import array_types, settings  # noqa: E402,F401
 from .column import ColumnVirtualConstant, ColumnVirtualRange  # noqa: E402
 from .groupby import BinnerTime, Grouper, GrouperCategory, RowLimitException  # noqa: E402,F401
+from . import geo  # noqa: E402,F401  (registers the df.geo accessor)
+from . import stat  # noqa: E402,F401
 
 __version__ = "0.1.0"
 

@@ -370,8 +370,15 @@ class AggregatorDescriptorBasic(AggregatorDescriptor):
     def add_tasks(self, df, binners, progress=None):
         dtype_in = self._input_dtype(df)
         exprs = [] if self.expression in (None, "*") else [self.expression]
-        op = self.op_class(exprs, selection=self.selection, dtype_in=dtype_in,
-                           **self.op_kwargs)
+        if (self.op_class is OpCount and exprs
+                and not DataType(df.data_type(self.expression)).is_primitive):
+            # count of a string/object column: only validity matters, so ship
+            # sum(notna(x)) to the device instead of the strings themselves
+            op = OpSum([f"astype(notna({self.expression}), 'int64')"],
+                       selection=self.selection, dtype_in=DataType(np.dtype("int64")))
+        else:
+            op = self.op_class(exprs, selection=self.selection, dtype_in=dtype_in,
+                               **self.op_kwargs)
         task = df.executor.schedule_aggregation(df, binners, op)
         return [task]
 

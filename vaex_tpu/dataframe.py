@@ -923,6 +923,73 @@ class DataFrame:
             (lim[1] - lim[0]) / mode_shape / 2
         return centers[np.argmax(counts)]
 
+    def describe(self, strings=True, virtual=True, selection=None):
+        """Summary table per column (reference dataframe.py describe)."""
+        import pandas as pd
+        names = self.get_column_names(strings=strings, virtual=virtual)
+        rows = {"data_type": [], "count": [], "NA": [], "mean": [], "std": [],
+                "min": [], "max": []}
+        N = len(self)
+        numeric = []
+        for name in names:
+            dt = DataType(self.data_type(name))
+            rows["data_type"].append(dt.name)
+            if dt.is_primitive and not dt.is_bool or dt.is_datetime:
+                numeric.append(name)
+        counts = {name: self.count(name, selection=selection or False, delay=True) for name in names}
+        means = {name: self.mean(name, selection=selection or False, delay=True)
+                 for name in numeric if not DataType(self.data_type(name)).is_datetime}
+        stds = {name: self.std(name, selection=selection or False, delay=True)
+                for name in numeric if not DataType(self.data_type(name)).is_datetime}
+        minmaxes = {name: self.minmax(name, selection=selection or False, delay=True)
+                    for name in numeric}
+        self.execute()
+        for name in names:
+            count = int(np.asarray(counts[name].get()))
+            rows["count"].append(count)
+            rows["NA"].append(N - count)
+            if name in minmaxes:
+                mm = np.asarray(minmaxes[name].get())
+                rows["min"].append(mm[0])
+                rows["max"].append(mm[1])
+            else:
+                rows["min"].append("--")
+                rows["max"].append("--")
+            rows["mean"].append(float(np.asarray(means[name].get())) if name in means else "--")
+            rows["std"].append(float(np.asarray(stds[name].get())) if name in stds else "--")
+        return pd.DataFrame(rows, index=names).T
+
+    def mutual_information(self, x, y=None, dimension=2, mi_limits=None, mi_shape=256,
+                           binby=[], limits=None, shape=128, sort=False, selection=False,
+                           delay=False):
+        """Mutual information between pairs (reference dataframe.py:622 + kld.py)."""
+        if y is None:
+            if not isinstance(x, (list, tuple)):
+                raise ValueError("provide y or a list of pairs")
+            if all(isinstance(e, (list, tuple)) for e in x):
+                pairs = [(str(a), str(b)) for a, b in x]
+                out = np.array([self.mutual_information(a, b, mi_limits=mi_limits,
+                                                        mi_shape=mi_shape, selection=selection)
+                                for a, b in pairs])
+                if sort:
+                    order = np.argsort(out)[::-1]
+                    return out[order], [pairs[i] for i in order]
+                return out
+            exprs = [str(e) for e in x]
+            return np.array([[self.mutual_information(a, b, mi_limits=mi_limits,
+                                                      mi_shape=mi_shape, selection=selection)
+                              for b in exprs] for a in exprs])
+        x, y = str(x), str(y)
+        lim = self.limits([x, y], mi_limits, selection=selection)
+        counts = np.asarray(self.count(binby=[x, y], limits=lim, shape=mi_shape,
+                                       selection=selection))
+        pxy = counts / counts.sum()
+        px = pxy.sum(axis=1, keepdims=True)
+        py = pxy.sum(axis=0, keepdims=True)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            terms = pxy * np.log(pxy / (px * py))
+        return float(np.nansum(terms))
+
     # -------------------------------------------------------------- set ops
     def _set(self, expression, keep_counts=False, limit=None, limit_raise=True):
         """Build a SortedSet over an expression (reference dataframe.py:474)."""

@@ -40,6 +40,7 @@ class Dataset(collections.abc.Mapping):
     def __init__(self):
         self._row_count = None
         self._ids = {}
+        self._fingerprint = None
 
     # -- Mapping protocol ---------------------------------------------------
     def __getitem__(self, name):
@@ -60,13 +61,26 @@ class Dataset(collections.abc.Mapping):
 
     # -- identity -----------------------------------------------------------
     def fingerprint(self) -> str:
+        """Content fingerprint, computed once — Dataset nodes are immutable
+        (and hashing device-resident columns costs a device round-trip)."""
+        if getattr(self, "_fingerprint", None) is None:
+            self._fingerprint = self._compute_fingerprint()
+        return self._fingerprint
+
+    def _compute_fingerprint(self) -> str:
         raise NotImplementedError
 
     def _column_fingerprint(self, name) -> str:
+        if name in self._ids:
+            return self._ids[name]
         col = self._columns[name]
         if hasattr(col, "fingerprint"):
-            return col.fingerprint()
-        return hash_array_data(array_types.to_numpy(col[:1000]) if len(col) else np.empty(0)) + f"-n{len(col)}"
+            fp = col.fingerprint()
+        else:
+            fp = hash_array_data(array_types.to_numpy(col[:1000]) if len(col) else np.empty(0)) \
+                + f"-n{len(col)}"
+        self._ids[name] = fp
+        return fp
 
     # -- chunking -----------------------------------------------------------
     def chunk_iterator(self, columns, chunk_size=None, reverse=False) -> Iterator[HERE_CHUNK]:
@@ -143,7 +157,7 @@ class DatasetArrays(Dataset):
         else:
             self._row_count = 0
 
-    def fingerprint(self) -> str:
+    def _compute_fingerprint(self) -> str:
         return fingerprint("dataset-arrays",
                            {name: self._column_fingerprint(name) for name in self._columns})
 
@@ -169,7 +183,7 @@ class DatasetRenamed(_Decorator):
         for i1, i2, chunks in self.original.chunk_iterator(src_cols, chunk_size, reverse=reverse):
             yield i1, i2, {name: chunks[src] for name, src in zip(columns, src_cols)}
 
-    def fingerprint(self):
+    def _compute_fingerprint(self):
         return fingerprint("dataset-renamed", self.original.fingerprint(), self.renaming)
 
 
@@ -186,7 +200,7 @@ class DatasetDropped(_Decorator):
                 raise KeyError(f"column {name} was dropped")
         yield from self.original.chunk_iterator(columns, chunk_size, reverse=reverse)
 
-    def fingerprint(self):
+    def _compute_fingerprint(self):
         return fingerprint("dataset-dropped", self.original.fingerprint(), self.names)
 
 
@@ -222,7 +236,7 @@ class DatasetMerged(Dataset):
             out.update(rc)
             yield i1, i2, {name: out[name] for name in columns}
 
-    def fingerprint(self):
+    def _compute_fingerprint(self):
         return fingerprint("dataset-merged", self.left.fingerprint(), self.right.fingerprint())
 
 
@@ -255,7 +269,7 @@ class DatasetSliced(_Decorator):
             if n == 0:
                 return
 
-    def fingerprint(self):
+    def _compute_fingerprint(self):
         return fingerprint("dataset-sliced", self.original.fingerprint(), self.start, self.end)
 
 
@@ -293,7 +307,7 @@ class DatasetTake(_Decorator):
                          for name, col in original._columns.items()}
         self._row_count = len(indices)
 
-    def fingerprint(self):
+    def _compute_fingerprint(self):
         idx = self.indices
         data = np.asarray(idx.data if isinstance(idx, np.ma.MaskedArray) else idx)
         return fingerprint("dataset-take", self.original.fingerprint(), hash_array_data(data), self.masked)
@@ -311,7 +325,7 @@ class DatasetFiltered(_Decorator):
         self._indices = indices
         self._columns = {name: ColumnIndexed.index(col, indices) for name, col in original._columns.items()}
 
-    def fingerprint(self):
+    def _compute_fingerprint(self):
         return fingerprint("dataset-filtered", self.original.fingerprint(), hash_array_data(self.mask))
 
 
@@ -380,7 +394,7 @@ class DatasetConcatenated(Dataset):
             else:
                 yield offset, offset, {}
 
-    def fingerprint(self):
+    def _compute_fingerprint(self):
         return fingerprint("dataset-concat", [ds.fingerprint() for ds in self.datasets])
 
 
@@ -397,7 +411,7 @@ class DatasetFile(Dataset):
         self._columns[name] = column
         self._row_count = len(column)
 
-    def fingerprint(self) -> str:
+    def _compute_fingerprint(self) -> str:
         import os
         stat = os.stat(self.path)
         return fingerprint("dataset-file", str(self.path), stat.st_size, stat.st_mtime)

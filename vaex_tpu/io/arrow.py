@@ -34,7 +34,7 @@ class ArrowTableDataset(DatasetFile):
                 col.chunk(0) if col.num_chunks == 1 else col.combine_chunks())
         self._row_count = table.num_rows
 
-    def fingerprint(self):
+    def _compute_fingerprint(self):
         from ..utils import fingerprint
         if self.path != "memory":
             import os
