@@ -1,0 +1,128 @@
+"""ML transformers (reference: packages/vaex-ml tests)."""
+
+import numpy as np
+import numpy.testing as npt
+import pytest
+
+import vaex_tpu as vt
+from vaex_tpu import ml
+
+X = np.arange(10, dtype="f8")
+
+
+@pytest.fixture
+def df_ml():
+    return vt.from_arrays(
+        x=X.copy(),
+        y=(X ** 2),
+        cat=np.asarray(["a", "b", "a", "c", "b", "a", "a", "c", "b", "a"], dtype=object),
+        target=(X > 4).astype("f8"),
+    )
+
+
+def test_standard_scaler(df_ml):
+    t = df_ml.ml.standard_scaler(["x"])
+    out = t.transform(df_ml)
+    values = np.asarray(out["standard_scaled_x"].tolist())
+    npt.assert_allclose(values.mean(), 0, atol=1e-12)
+    npt.assert_allclose(values.std(), 1, atol=1e-12)
+
+
+def test_minmax_scaler(df_ml):
+    t = df_ml.ml.minmax_scaler(["x"])
+    out = t.transform(df_ml)
+    values = np.asarray(out["minmax_scaled_x"].tolist())
+    assert values.min() == 0 and values.max() == 1
+
+
+def test_maxabs_scaler(df_ml):
+    t = df_ml.ml.max_abs_scaler(["x"])
+    out = t.transform(df_ml)
+    assert np.asarray(out["absmax_scaled_x"].tolist()).max() == 1.0
+
+
+def test_label_encoder(df_ml):
+    t = df_ml.ml.label_encoder(["cat"])
+    out = t.transform(df_ml)
+    codes = np.asarray(out["label_encoded_cat"].tolist())
+    assert set(codes.tolist()) == {0, 1, 2}
+    # same label -> same code
+    cats = df_ml["cat"].tolist()
+    mapping = {}
+    for c, code in zip(cats, codes):
+        mapping.setdefault(c, code)
+        assert mapping[c] == code
+
+
+def test_one_hot_encoder(df_ml):
+    t = df_ml.ml.one_hot_encoder(["cat"])
+    out = t.transform(df_ml)
+    names = out.get_column_names()
+    assert "cat_a" in names and "cat_b" in names and "cat_c" in names
+    a = np.asarray(out["cat_a"].tolist())
+    assert a.sum() == 5
+
+
+def test_frequency_encoder(df_ml):
+    t = df_ml.ml.frequency_encoder(["cat"])
+    out = t.transform(df_ml)
+    values = np.asarray(out["frequency_encoded_cat"].tolist())
+    npt.assert_allclose(values[0], 0.5)  # 'a' appears 5/10
+
+
+def test_pca(df_ml):
+    df = df_ml.copy()
+    df["z"] = df.x * 2 + 1  # perfectly correlated with x
+    t = df.ml.pca(["x", "z"], n_components=2)
+    out = t.transform(df)
+    p0 = np.asarray(out["PCA_0"].tolist())
+    p1 = np.asarray(out["PCA_1"].tolist())
+    # second component captures ~no variance
+    assert p1.std() < 1e-8
+    assert p0.std() > 1
+
+
+def test_kbins_uniform(df_ml):
+    t = df_ml.ml.kbins_discretizer(["x"], n_bins=5)
+    out = t.transform(df_ml)
+    bins = np.asarray(out["binned_x"].tolist())
+    assert bins.min() == 0 and bins.max() == 4
+
+
+def test_cycle_transformer(df_ml):
+    t = df_ml.ml.cycle_transformer(["x"], n=10)
+    out = t.transform(df_ml)
+    cx = np.asarray(out["x_x"].tolist())
+    cy = np.asarray(out["x_y"].tolist())
+    npt.assert_allclose(cx ** 2 + cy ** 2, 1.0)
+
+
+def test_state_roundtrip_pipeline(df_ml):
+    t = df_ml.ml.standard_scaler(["x"])
+    out = t.transform(df_ml)
+    state = out.state_get()
+    df2 = vt.from_arrays(x=X.copy(), y=(X ** 2),
+                         cat=np.asarray(["a"] * 10, dtype=object),
+                         target=np.zeros(10))
+    df2.state_set(state)
+    values = np.asarray(df2["standard_scaled_x"].tolist())
+    npt.assert_allclose(values.mean(), 0, atol=1e-12)
+
+
+def test_bayesian_target_encoder(df_ml):
+    from vaex_tpu.ml import BayesianTargetEncoder
+    t = BayesianTargetEncoder(features=["cat"], target="target", weight=0)
+    t.fit(df_ml)
+    out = t.transform(df_ml)
+    values = np.asarray(out["mean_encoded_cat"].tolist())
+    # 'a' rows: x in {0,2,5,6,9} -> target 0,0,1,1,1 -> mean 0.6
+    npt.assert_allclose(values[0], 0.6)
+
+
+def test_groupby_transformer(df_ml):
+    from vaex_tpu.ml import GroupByTransformer
+    t = GroupByTransformer(by="cat", agg={"xs": vt.agg.sum("x")})
+    t.fit(df_ml)
+    out = t.transform(df_ml)
+    values = np.asarray(out["xs"].tolist())
+    assert values[0] == 0 + 2 + 5 + 6 + 9  # sum of x over 'a'

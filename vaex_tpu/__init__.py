@@ -37,6 +37,7 @@ from .column import ColumnVirtualConstant, ColumnVirtualRange  # noqa: E402
 from .groupby import BinnerTime, Grouper, GrouperCategory, RowLimitException  # noqa: E402,F401
 from . import geo  # noqa: E402,F401  (registers the df.geo accessor)
 from . import stat  # noqa: E402,F401
+from . import ml  # noqa: E402,F401  (registers the df.ml accessor)
 
 __version__ = "0.1.0"
 

@@ -295,10 +295,15 @@ class ExecutorLocal(Executor):
                 task.reject(UserAbort("user aborted"))
             return
 
-        # finalize
-        for task, state, outputs in zip(device_tasks, states, outputs_per_task):
-            state_host = jax.tree_util.tree_map(np.asarray, state)
-            result = task.finalize(state_host, _trim_outputs(outputs))
+        # finalize: fetch ALL accumulator state in one batched transfer (a
+        # per-array fetch costs a full device round-trip each)
+        states_host = jax.device_get(states)
+        outputs_host = jax.device_get([[o for o, n in outs] for outs in outputs_per_task])
+        for task, state, outputs, outs_host in zip(device_tasks, states_host,
+                                                   outputs_per_task, outputs_host):
+            trimmed = [jax.tree_util.tree_map(lambda a: np.asarray(a)[:n], oh)
+                       for oh, (_, n) in zip(outs_host, outputs)]
+            result = task.finalize(state, trimmed)
             if hasattr(task, "_cache_key"):
                 cache_store(task._cache_key, result)
         for task in host_tasks:

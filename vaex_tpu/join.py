@@ -77,28 +77,27 @@ def join(left, right, on=None, left_on=None, right_on=None, lprefix="", rprefix=
     else:
         lookup_arr = lookup.astype(lookup_dtype)
 
-    # column-name collision mangling (reference join.py:223-253)
+    # column-name collision mangling — only clashing names are renamed
+    # (reference join.py:223-253)
     left_names = left.get_column_names(hidden=True)
     right_names = right.get_column_names(hidden=True)
     renaming = {}
     for name in right_names:
+        if name not in left_names:
+            continue
+        if name == right_on and name == left_on:
+            continue  # shared join key collapses to one column
+        if not (lprefix or lsuffix or rprefix or rsuffix):
+            raise NameError(f"column {name!r} exists in both; use l/r prefix/suffix")
         new_name = rprefix + name + rsuffix
-        if new_name in left_names or (new_name != name and new_name in right_names):
-            pass
-        if new_name in left_names:
-            if not (lprefix or lsuffix or rprefix or rsuffix):
-                # same-named join keys with identical values collapse to one
-                if name == right_on and new_name == left_on:
-                    continue
-                raise NameError(f"column {name!r} exists in both; use l/r prefix/suffix")
         if new_name != name:
             renaming[name] = new_name
 
     right_df = right
     right_physical = [n for n in right_names if n not in right_df.virtual_columns]
     skip = set()
-    if not (lprefix or lsuffix or rprefix or rsuffix) and right_on in right_physical \
-            and left_on in left_names and right_on == left_on:
+    if right_on == left_on and right_on in right_names and left_on in left_names:
+        # the shared join key collapses to the left column (reference join.py)
         skip.add(right_on)
 
     right_ds = right.dataset.project(*[n for n in right_physical if n not in skip])
