@@ -254,7 +254,8 @@ class DataFrame:
     def __len__(self):
         if not self.filtered:
             return self.length_unfiltered()
-        return int(self._get_filter_mask().sum())
+        from . import hostkern
+        return int(hostkern.mask_count(self._get_filter_mask()))
 
     # --------------------------------------------------------------- filters
     def _filter_expression(self):
@@ -525,7 +526,8 @@ class DataFrame:
             i2 = i2 if i2 is not None else len(self)
             if self.filtered and filtered:
                 mask = self._get_filter_mask()
-                raw = np.flatnonzero(mask)[i1:i2]
+                from . import hostkern
+                raw = hostkern.mask_indices(mask)[i1:i2]
                 ds = self.dataset_for_execution().take(raw)
                 df = self._rebind_dataset(ds, keep_filter=False)
                 df.selections.pop(FILTER_SELECTION_NAME, None)
@@ -1075,7 +1077,8 @@ class DataFrame:
             assert step in (1, None)
             if self.filtered:
                 mask = self._get_filter_mask()
-                raw = np.flatnonzero(mask)[start:stop]
+                from . import hostkern
+                raw = hostkern.mask_indices(mask)[start:stop]
                 df = self._rebind_dataset(self.dataset_for_execution().take(raw), keep_filter=False)
                 df.selections.pop(FILTER_SELECTION_NAME, None)
                 return df

@@ -320,7 +320,8 @@ class DatasetFiltered(_Decorator):
         super().__init__(original)
         assert len(mask) == original.row_count
         self.mask = np.asarray(mask, dtype=bool)
-        indices = np.flatnonzero(self.mask)
+        from . import hostkern
+        indices = hostkern.mask_indices(self.mask)
         self._row_count = len(indices)
         self._indices = indices
         self._columns = {name: ColumnIndexed.index(col, indices) for name, col in original._columns.items()}
