@@ -38,6 +38,8 @@ from .groupby import BinnerTime, Grouper, GrouperCategory, RowLimitException  # 
 from . import geo  # noqa: E402,F401  (registers the df.geo accessor)
 from . import stat  # noqa: E402,F401
 from . import ml  # noqa: E402,F401  (registers the df.ml accessor)
+from . import viz  # noqa: E402,F401  (registers the df.viz accessor)
+from . import struct  # noqa: E402,F401  (struct_get/_project + expr.struct)
 
 __version__ = "0.1.0"
 

@@ -925,6 +925,47 @@ class DataFrame:
             (lim[1] - lim[0]) / mode_shape / 2
         return centers[np.argmax(counts)]
 
+    def propagate_uncertainties(self, columns, depending_variables=None, cov_matrix="auto",
+                                covariance_format="{}_{}_covariance",
+                                uncertainty_format="{}_uncertainty"):
+        """First-order error propagation via symbolic derivatives
+        (reference dataframe.py:3418, using expresso.Derivative)."""
+        from . import expresso
+        from .scopes import classify_leaves
+        columns = [self[str(c)] if not isinstance(c, Expression) else c for c in columns]
+        if depending_variables is None:
+            deps = set()
+            for col in columns:
+                _, cols_, _ = classify_leaves(self, col.expand().expression)
+                deps |= cols_
+            depending_variables = sorted(deps)
+        depending_variables = [str(v) for v in depending_variables]
+        for col in columns:
+            expr = col.expand().expression
+            terms = []
+            for var in depending_variables:
+                try:
+                    d = expresso.derivative(expr, var)
+                except ValueError:
+                    continue
+                if d.strip() == "0":
+                    continue
+                sigma = uncertainty_format.format(var)
+                if sigma not in self:
+                    continue
+                terms.append(f"(({d}))**2 * ({sigma})**2")
+            if terms:
+                name = uncertainty_format.format(str(col))
+                self.add_virtual_column(name, "sqrt(" + " + ".join(terms) + ")")
+        return self
+
+    def apply(self, f, arguments=None, vectorize=True, multiprocessing=False):
+        """Row-wise python UDF over expressions (reference dataframe.py apply)."""
+        arguments = [str(a) for a in (arguments or [])]
+        name = self.add_function(getattr(f, "__name__", "lambda"), f,
+                                 vectorize=vectorize, unique=True)
+        return Expression(self, f"{name}({', '.join(arguments)})")
+
     def describe(self, strings=True, virtual=True, selection=None):
         """Summary table per column (reference dataframe.py describe)."""
         import pandas as pd

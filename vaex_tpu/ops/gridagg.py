@@ -132,8 +132,13 @@ def fused_additive(idx, cols, G, block=FUSED_BLOCK):
     """Sum cols [N, A] into grids [G, A] keyed by idx [N] (idx == G drops).
 
     Returns float64 [G, A]; callers cast per-aggregator output dtype.
+    On TPU the Pallas kernel (ops/pallas_gridagg.py) keeps the one-hot in
+    VMEM; elsewhere an XLA scan of block matmuls runs the same math.
     """
     import jax
+    from . import pallas_gridagg
+    if pallas_gridagg.is_available():
+        return pallas_gridagg.fused_additive_pallas(idx, cols.astype(jnp.float64), G)
     N, A = cols.shape
     block = min(block, max(256, 1 << (N - 1).bit_length()))
     nb = -(-N // block)

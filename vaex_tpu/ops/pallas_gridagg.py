@@ -1,0 +1,118 @@
+"""Pallas TPU kernel for small-grid aggregation — the speed-of-light path.
+
+Replaces the XLA scan-of-matmuls in :func:`vaex_tpu.ops.gridagg.fused_additive`
+on TPU.  Why a kernel: the scan materializes each block's one-hot matrix in
+HBM (block x G x 4 bytes, re-read by the matmul) and pays scan overhead per
+block; here the one-hot never leaves VMEM and the G x A accumulator stays
+resident across the whole row stream, so HBM traffic is exactly one read of
+(idx, cols) — the reference C++'s "one pass, grid in cache" property
+(agg.hpp:106-136) mapped onto the MXU.
+
+f64 fidelity on an f32-class MXU: callers split values hi/lo into two f32
+columns; in-kernel accumulation is *compensated* (two-sum) so thousands of
+block partials add with ~f64 accuracy; the final hi+lo+err combine happens
+in f64 outside the kernel.
+
+Layout: idx [N] int32 (rows to drop carry idx >= G and land in padding bins
+that are sliced away), cols [N, 2A] f32 (hi columns then lo columns).  Grid =
+N/BLOCK programs, each accumulating its block into the single [G_pad, 2A]
+output block (constant out index map => accumulation across the grid, TPU
+grid steps run sequentially per core).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+try:
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+    HAVE_PALLAS = True
+except ImportError:  # pragma: no cover
+    HAVE_PALLAS = False
+
+BLOCK = 8192
+
+
+def _round_up(x, m):
+    return -(-x // m) * m
+
+
+def _agg_kernel(idx_ref, cols_ref, acc_ref, err_ref, *, g_pad):
+    """cols arrives transposed [A2, B] (lane dim = rows, 128-aligned);
+    output [A2, G_pad] accumulates across sequential grid steps."""
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+        err_ref[:] = jnp.zeros_like(err_ref)
+
+    idx = idx_ref[:]           # [B] int32
+    cols = cols_ref[:]         # [A2, B] f32
+    bins = jax.lax.broadcasted_iota(jnp.int32, (idx.shape[0], g_pad), 1)
+    onehot = (idx[:, None] == bins).astype(jnp.float32)  # [B, G_pad], VMEM only
+    partial = jnp.dot(cols, onehot, preferred_element_type=jnp.float32,
+                      precision=jax.lax.Precision.HIGHEST)  # [A2, G_pad]
+    acc = acc_ref[:]
+    new = acc + partial
+    err_ref[:] += (acc - new) + partial
+    acc_ref[:] = new
+
+
+def fused_additive_pallas(idx, cols, G, block=BLOCK):
+    """idx [N] int32, cols [N, A] float64 -> [G, A] float64.
+
+    Rows with idx >= G are dropped (they land in padding bins).
+    """
+    N, A = cols.shape
+    g_pad = max(_round_up(G + 1, 128), 128)  # +1 keeps an explicit drop bin
+    n_pad = _round_up(max(N, block), block) - N
+    if n_pad:
+        idx = jnp.concatenate([idx, jnp.full((n_pad,), g_pad - 1, jnp.int32)])
+    idx = jnp.where(idx >= G, g_pad - 1, idx).astype(jnp.int32)
+    hi = cols.astype(jnp.float32)
+    lo = (cols - hi.astype(jnp.float64)).astype(jnp.float32)
+    cols32 = jnp.concatenate([hi, lo], axis=1)  # [N, 2A]
+    if n_pad:
+        cols32 = jnp.concatenate([cols32, jnp.zeros((n_pad, 2 * A), jnp.float32)])
+    cols32 = cols32.T  # [2A, N]: rows on the 128-lane axis
+    nb = idx.shape[0] // block
+
+    kernel = functools.partial(_agg_kernel, g_pad=g_pad)
+    # Mosaic requires i32 block-index arithmetic; under global x64 the index
+    # maps would emit i64 literals, so trace the kernel with x64 off (all
+    # kernel dtypes are explicitly 32-bit anyway).
+    with jax.enable_x64(False):
+        acc, err = pl.pallas_call(
+            kernel,
+            grid=(nb,),
+            in_specs=[
+                pl.BlockSpec((block,), lambda i: (i,)),
+                pl.BlockSpec((2 * A, block), lambda i: (0, i)),
+            ],
+            out_specs=[
+                pl.BlockSpec((2 * A, g_pad), lambda i: (0, 0)),
+                pl.BlockSpec((2 * A, g_pad), lambda i: (0, 0)),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((2 * A, g_pad), jnp.float32),
+                jax.ShapeDtypeStruct((2 * A, g_pad), jnp.float32),
+            ],
+        )(idx, cols32)
+    total = acc.astype(jnp.float64) + err.astype(jnp.float64)  # [2A, g_pad]
+    out = total[:A, :] + total[A:, :]  # hi + lo
+    return out[:, :G].T
+
+
+def is_available():
+    if not HAVE_PALLAS:
+        return False
+    try:
+        return jax.default_backend() == "tpu"
+    except Exception:  # pragma: no cover
+        return False
