@@ -1035,8 +1035,25 @@ class DataFrame:
 
     # -------------------------------------------------------------- set ops
     def _set(self, expression, keep_counts=False, limit=None, limit_raise=True):
-        """Build a SortedSet over an expression (reference dataframe.py:474)."""
+        """Build a SortedSet over an expression (reference dataframe.py:474).
+
+        Device-evaluable keys build on the accelerator (per-tile static-size
+        unique, tiny host merges); the cap retries 64Ki -> 1Mi before falling
+        back to the host chunk path.
+        """
         expression = str(expression)
+        from .tasks import SetCapOverflow, TaskSetCreateDevice
+        if expression_is_device(self, expression):
+            for cap in (65536, 1 << 20):
+                task = TaskSetCreateDevice(self, expression, keep_counts=keep_counts,
+                                           limit=limit if limit_raise else None,
+                                           pre_filter=self.filtered, cap=cap)
+                self.executor.schedule(task)
+                try:
+                    self.executor.execute()
+                    return task.get()
+                except SetCapOverflow:
+                    continue
         task = TaskSetCreate(self, expression, keep_counts=keep_counts,
                              limit=limit if limit_raise else None,
                              pre_filter=self.filtered)

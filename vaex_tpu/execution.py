@@ -301,8 +301,12 @@ class ExecutorLocal(Executor):
             (states, [[o for o, n in outs] for outs in outputs_per_task]))
         for task, state, outputs, outs_host in zip(device_tasks, states_host,
                                                    outputs_per_task, outputs_host):
-            trimmed = [jax.tree_util.tree_map(lambda a: np.asarray(a)[:n], oh)
-                       for oh, (_, n) in zip(outs_host, outputs)]
+            if getattr(task, "trim_outputs", True):
+                # row-shaped per-tile outputs: drop the padding rows
+                trimmed = [jax.tree_util.tree_map(lambda a: np.asarray(a)[:n], oh)
+                           for oh, (_, n) in zip(outs_host, outputs)]
+            else:
+                trimmed = outs_host
             result = task.finalize(state, trimmed)
             if hasattr(task, "_cache_key"):
                 cache_store(task._cache_key, result)

@@ -102,10 +102,12 @@ class TaskAggregations(Task):
         G = grid_size(self.binners)
         return [op.initial_state(G) for op in self.subtasks]
 
-    # grids larger than these fall back to the scatter strategy (the one-hot
-    # matmul moves O(block x G) bytes; see ops/gridagg.py strategy notes)
+    # strategy thresholds (see ops/gridagg.py + ops/pallas_gridagg.py):
+    # one-hot matmul while the one-hot block fits VMEM, then device sort +
+    # segment reduce, scatter only as the last resort for astronomical grids
     FUSED_ADDITIVE_MAX_G = 2048
     FUSED_EXTREME_MAX_G = 512
+    SORT_MAX_G = 1 << 24
 
     def update(self, state, ctx):
         import jax.numpy as jnp
@@ -116,30 +118,44 @@ class TaskAggregations(Task):
         new_state = list(state)
         done = [False] * len(self.subtasks)
 
-        additive = [i for i, op in enumerate(self.subtasks)
-                    if hasattr(op, "additive_column")] if G <= self.FUSED_ADDITIVE_MAX_G else []
-        if additive:
+        use_sort_additive = self.FUSED_ADDITIVE_MAX_G < G <= self.SORT_MAX_G
+        use_sort_extreme = self.FUSED_EXTREME_MAX_G < G <= self.SORT_MAX_G
+        order = sorted_idx = None
+        if use_sort_additive or use_sort_extreme:
+            order, sorted_idx = gridagg.sort_rows(flat, G)
+
+        additive = [i for i, op in enumerate(self.subtasks) if hasattr(op, "additive_column")]
+        if additive and G <= self.FUSED_ADDITIVE_MAX_G:
             cols = jnp.stack([self.subtasks[i].additive_column(ctx) for i in additive], axis=1)
             grids = gridagg.fused_additive(flat, cols, G)
             for k, i in enumerate(additive):
                 new_state[i] = self.subtasks[i].apply_additive(state[i], grids[:, k])
                 done[i] = True
+        elif additive and use_sort_additive:
+            cols = jnp.stack([self.subtasks[i].additive_column(ctx) for i in additive], axis=1)
+            grids = gridagg.sorted_additive(sorted_idx, cols[order], G)
+            for k, i in enumerate(additive):
+                new_state[i] = self.subtasks[i].apply_additive(state[i], grids[:, k])
+                done[i] = True
 
-        if G <= self.FUSED_EXTREME_MAX_G:
-            for mode in ("min", "max"):
-                group = [i for i, op in enumerate(self.subtasks)
-                         if getattr(op, "extreme_mode", None) == mode]
-                # one fused pass per (mode, dtype)
-                by_dtype = {}
-                for i in group:
-                    col = self.subtasks[i].extreme_column(ctx)
-                    by_dtype.setdefault(col.dtype, []).append((i, col))
-                for dtype, items in by_dtype.items():
-                    cols = jnp.stack([c for _, c in items], axis=1)
+        for mode in ("min", "max"):
+            group = [i for i, op in enumerate(self.subtasks)
+                     if getattr(op, "extreme_mode", None) == mode and not done[i]]
+            if not group or (G > self.FUSED_EXTREME_MAX_G and not use_sort_extreme):
+                continue
+            by_dtype = {}
+            for i in group:
+                col = self.subtasks[i].extreme_column(ctx)
+                by_dtype.setdefault(col.dtype, []).append((i, col))
+            for dtype, items in by_dtype.items():
+                cols = jnp.stack([c for _, c in items], axis=1)
+                if G <= self.FUSED_EXTREME_MAX_G:
                     grids = gridagg.fused_extreme(flat, cols, G, mode)
-                    for k, (i, _) in enumerate(items):
-                        new_state[i] = self.subtasks[i].apply_extreme(state[i], grids[:, k])
-                        done[i] = True
+                else:
+                    grids = gridagg.sorted_extreme(sorted_idx, cols[order], G, mode)
+                for k, (i, _) in enumerate(items):
+                    new_state[i] = self.subtasks[i].apply_extreme(state[i], grids[:, k])
+                    done[i] = True
 
         for i, op in enumerate(self.subtasks):
             if not done[i]:
@@ -288,6 +304,95 @@ class TaskSetCreate(Task):
             self.set = setops.SortedSet(np.dtype("float64"), keep_counts=self.keep_counts)
         self.fulfill(self.set)
         return self.set
+
+
+class TaskSetCreateDevice(Task):
+    """Device-side set build: per tile, a static-size ``jnp.unique`` runs on
+    the accelerator and only the (tiny) candidate key arrays cross back to
+    the host, where they merge into the SortedSet.  This replaces the host
+    path when the key expression is device-evaluable — crucial for
+    device-resident tables, where the host path would fetch whole columns.
+
+    Invalid rows (padding/filter/null/NaN) are replaced by the tile's first
+    usable value — which adds no new keys — and the inflated count of that
+    value is corrected on the host.  Overflow of the per-tile cap raises
+    SetCapOverflow; the caller retries with the host path.
+    """
+
+    trim_outputs = False  # outputs are candidate sets, not row slices
+
+    def __init__(self, df, expression, keep_counts=False, limit=None, pre_filter=True,
+                 cap=65536):
+        super().__init__(df, [str(expression)], name="set-create-device", pre_filter=pre_filter)
+        self.keep_counts = keep_counts
+        self.limit = limit
+        self.cap = cap
+
+    def _fingerprint_extra(self):
+        return (self.keep_counts, self.limit, self.cap, "device")
+
+    def initial_state(self):
+        return ()
+
+    def update(self, state, ctx):
+        import jax.numpy as jnp
+        x = ctx.expr(self.expressions[0])
+        valid = ctx.row_valid if self.pre_filter else ctx.padding_valid
+        data = x.data
+        null_mask = x.mask if x.mask is not None else jnp.zeros(data.shape, bool)
+        null_count = jnp.sum(valid & null_mask)
+        if jnp.issubdtype(data.dtype, jnp.floating):
+            nan_mask = jnp.isnan(data)
+        else:
+            nan_mask = jnp.zeros(data.shape, bool)
+        nan_count = jnp.sum(valid & nan_mask & ~null_mask)
+        usable = valid & ~null_mask & ~nan_mask
+        n_usable = jnp.sum(usable)
+        rep = data[jnp.argmax(usable)]
+        clean = jnp.where(usable, data, rep)
+        cap = min(self.cap, clean.shape[0])
+        uniq, counts = jnp.unique(clean, return_counts=True, size=cap, fill_value=rep)
+        n_invalid = clean.shape[0] - n_usable
+        return state, (uniq, counts, rep, n_invalid, nan_count, null_count, n_usable)
+
+    def finalize(self, state, outputs):
+        from .ops.setops import SortedSet
+        oset = None
+        for uniq, counts, rep, n_invalid, nan_count, null_count, n_usable in outputs:
+            uniq = np.asarray(uniq)
+            counts = np.asarray(counts).astype(np.int64)
+            if oset is None:
+                oset = SortedSet(uniq.dtype, keep_counts=self.keep_counts, limit=self.limit)
+            oset.nan_count += int(nan_count)
+            oset.null_count += int(null_count)
+            if int(n_usable) == 0:
+                continue
+            counts = counts.copy()
+            counts[uniq == np.asarray(rep)] -= int(n_invalid)
+            present = counts > 0
+            n_uniq = int(present.sum())
+            if n_uniq >= min(self.cap, len(uniq)):
+                exc = SetCapOverflow(f"tile unique count reached cap {self.cap}")
+                self.reject(exc)
+                raise exc
+            part = SortedSet(uniq.dtype, keep_counts=self.keep_counts)
+            part.keys = uniq[present]
+            if self.keep_counts:
+                part.counts = counts[present]
+            oset.merge(part)
+        if oset is None:
+            oset = SortedSet(np.dtype("float64"), keep_counts=self.keep_counts)
+        if self.limit is not None and oset.count > self.limit:
+            exc = setops.RowLimitException(
+                f"set grew to {oset.count} unique values, which exceeds the limit of {self.limit}")
+            self.reject(exc)
+            raise exc
+        self.fulfill(oset)
+        return oset
+
+
+class SetCapOverflow(Exception):
+    pass
 
 
 class TaskMapReduce(Task):
