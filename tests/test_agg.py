@@ -139,3 +139,19 @@ def test_datetime_ops(df_local):
     assert df.count("t") == 10
     years = df.evaluate("dt_year(t)")
     npt.assert_array_equal(np.asarray(years), [2015] * 10)
+
+
+def test_binby_large_grid(df_local):
+    # exercises the sort-based high-cardinality strategy (G > 2048)
+    df = vt.from_arrays(x=np.arange(10000, dtype="f8"),
+                        k=np.arange(10000, dtype="i8") % 5000)
+    df = df.categorize("k", labels=list(range(5000)))
+    counts = df.count(binby=["k"])
+    assert counts.sum() == 10000
+    sums = df.sum("x", binby=["k"])
+    npt.assert_allclose(sums.sum(), np.arange(10000.0).sum())
+    npt.assert_allclose(sums[0], 0 + 5000)
+    mins = df.min("x", binby=["k"])
+    npt.assert_allclose(mins[1], 1.0)
+    maxs = df.max("x", binby=["k"])
+    npt.assert_allclose(maxs[4999], 9999.0)

@@ -49,11 +49,43 @@ class Grouper:
         self.N = self.set.count
         var = df.add_variable("grouper_set", self.set, unique=True)
         self.binby_expression = f"_ordinal_values({self.expression}, {var})"
+        self.ordinal_expression = self.binby_expression
         self.binner = BinnerOrdinal(self.binby_expression, 0, self.N)
         self.sort_indices = None
         if sort and not ascending:
             self.sort_indices = np.arange(self.N)[::-1]
             self.bin_values = self.bin_values[::-1]
+
+
+class GrouperDense:
+    """Dense integer-range grouper: bins are the raw key values over
+    [lo, hi] — needs only a minmax+count pre-pass instead of a set build
+    (the TPU counterpart of the reference's 'just bin the ints' fast path in
+    benchmarks; empty cells are dropped at assemble using the count grid).
+    Only valid when the key has no nulls/NaN (checked by the caller)."""
+
+    dense = True
+
+    def __init__(self, expression, df, lo, hi, sort=False, ascending=True):
+        self.df = df
+        self.expression = str(expression)
+        self.sort = sort
+        self.ascending = ascending
+        self.lo = int(lo)
+        self.N = int(hi) - int(lo) + 1
+        self.bin_values = np.arange(int(lo), int(hi) + 1, dtype=np.int64)
+        self.binby_expression = self.expression
+        self.ordinal_expression = (f"(astype({self.expression}, 'int64') - {self.lo})"
+                                   if self.lo else f"astype({self.expression}, 'int64')")
+        self.binner = BinnerOrdinal(self.expression, self.lo, self.N)
+        self.sort_indices = None
+        if sort and not ascending:
+            self.sort_indices = np.arange(self.N)[::-1]
+            self.bin_values = self.bin_values[::-1]
+
+
+# dense grouping allowed while the (range+3) grid stays cheap
+DENSE_RANGE_MAX = 1 << 22
 
 
 class GrouperCategory:
@@ -78,6 +110,8 @@ class GrouperCategory:
         if codes in df.virtual_columns:
             binby_expression = codes
         self.binby_expression = binby_expression
+        self.ordinal_expression = (f"(astype({binby_expression}, 'int64') - {self.min_value})"
+                                   if self.min_value else f"astype({binby_expression}, 'int64')")
         self.binner = BinnerOrdinal(self.binby_expression, self.min_value, self.N)
         self.sort_indices = None
         if sort:
@@ -101,8 +135,8 @@ class GrouperCombined:
         if np.prod([g.N for g in groupers], dtype=np.float64) >= 2**62:
             raise ValueError("groupby key cardinality product overflows int64; "
                              "use fewer/lower-cardinality keys")
-        parts = [f"astype({g.binby_expression}, 'int64') * {m}" if m != 1
-                 else f"astype({g.binby_expression}, 'int64')"
+        parts = [f"astype({g.ordinal_expression}, 'int64') * {m}" if m != 1
+                 else f"astype({g.ordinal_expression}, 'int64')"
                  for g, m in zip(groupers, multipliers)]
         self.expression = " + ".join(f"({p})" for p in parts)
         self.set = df._set(self.expression, limit=row_limit)
@@ -127,11 +161,27 @@ def _take_bin_values(bin_values, ordinals):
 
 
 def _make_grouper(by, df, sort, ascending, row_limit):
-    if isinstance(by, (Grouper, GrouperCategory, GrouperCombined, BinnerTime)):
+    if isinstance(by, (Grouper, GrouperCategory, GrouperCombined, GrouperDense, BinnerTime)):
         return by
     name = str(by) if not isinstance(by, Expression) else by.expression
     if df.is_category(name):
         return GrouperCategory(name, df, sort=sort, ascending=ascending, row_limit=row_limit)
+    # dense fast path: integer key, no nulls/NaN, narrow range -> bin directly
+    if row_limit is None:  # row_limit needs the exact observed group count
+        try:
+            from .datatype import DataType
+            dt = DataType(df.data_type(name))
+            if dt.is_integer:
+                mm = df.minmax(name, delay=True)
+                cnt = df.count(name, delay=True)
+                df.execute()
+                lo, hi = np.asarray(mm.get())
+                span = int(hi) - int(lo) + 1
+                n_valid = int(np.asarray(cnt.get()))
+                if span <= DENSE_RANGE_MAX and n_valid == len(df):
+                    return GrouperDense(name, df, lo, hi, sort=sort, ascending=ascending)
+        except Exception:
+            pass  # fall back to the general set-build grouper
     return Grouper(name, df, sort=sort, ascending=ascending, row_limit=row_limit)
 
 
@@ -172,6 +222,7 @@ class BinnerTime:
         col = f"__btime_{abs(hash((self.expression, resolution, every))) % 10**9}"
         df.add_column(col, codes)
         self.binby_expression = col
+        self.ordinal_expression = col
         self.binner = BinnerOrdinal(col, 0, self.N)
 
     @classmethod
@@ -319,15 +370,22 @@ class GroupBy(GroupByBase):
         elif len(self.by) == 1:
             g = self.by[0]
             bin_values = g.bin_values
+            keep = None
+            if getattr(g, "dense", False):
+                # dense-range groupers carry empty cells; drop them by count
+                cnt = counts
+                if g.sort_indices is not None:
+                    cnt = cnt[g.sort_indices]
+                keep = np.asarray(cnt) > 0
             for name, grid in grids.items():
                 if g.sort_indices is not None:
                     grid = grid[g.sort_indices]
-                columns[self.by_names[0]] = bin_values
+                if keep is not None:
+                    grid = grid[keep]
                 columns[name] = grid
-            if not grids:
-                columns[self.by_names[0]] = bin_values
-            # drop never-seen trailing nan/null slots is not needed: set holds
-            # only observed values
+            columns[self.by_names[0]] = bin_values[keep] if keep is not None else bin_values
+            columns = {self.by_names[0]: columns[self.by_names[0]],
+                       **{k: v for k, v in columns.items() if k != self.by_names[0]}}
         else:
             # dense cartesian grid: drop empty cells using the count grid
             # (reference groupby.py:488-529)
