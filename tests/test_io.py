@@ -97,3 +97,16 @@ def test_export_json(df_src, tmp_path):
         records = json.load(f)
     assert len(records) == 10
     assert records[0]["i"] == 0
+
+
+def test_fits_roundtrip(tmp_path):
+    df = vt.from_arrays(x=np.arange(5, dtype="f8"), i=np.arange(5, dtype="i4"),
+                        s=np.asarray(["aa", "b", "ccc", "d", "e"], dtype=object))
+    path = str(tmp_path / "t.fits")
+    df.export(path)
+    df2 = vt.open(path)
+    assert len(df2) == 5
+    npt.assert_allclose(np.asarray(df2["x"].tolist()), np.arange(5.0))
+    assert df2["i"].tolist() == list(range(5))
+    assert df2["s"].tolist() == ["aa", "b", "ccc", "d", "e"]
+    assert df2.sum("x") == 10.0

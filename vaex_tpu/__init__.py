@@ -141,6 +141,9 @@ def open(path, convert=False, shuffle=False, fs_options=None, fs=None, *args, **
     elif ext == ".feather":
         from .io.arrow import open_feather
         df = open_feather(path)
+    elif ext == ".fits":
+        from .io.fits import open_fits
+        df = open_fits(path)
     elif ext == ".csv":
         df = from_csv(path, convert=convert)
     elif ext == ".json":

@@ -19,6 +19,9 @@ def export(df, path, progress=None, chunk_size=None):
     if ext == ".feather":
         from . import arrow
         return arrow.export_feather(df, path)
+    if ext == ".fits":
+        from . import fits
+        return fits.export_fits(df, path)
     if ext == ".csv":
         return export_csv(df, path, chunk_size=chunk_size)
     if ext == ".json":
