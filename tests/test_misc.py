@@ -72,3 +72,31 @@ def test_example():
     df = vt.example()
     assert len(df) == 10000
     assert "x" in df.get_column_names()
+
+
+def test_graphql_query(df_local):
+    out = df_local.graphql.query({
+        "where": {"x": {"_gt": 4}},
+        "count": True,
+        "mean": ["x"],
+        "groupby": {"by": ["g"], "agg": {"x": "sum"}},
+    })
+    assert out["count"] == 5
+    assert out["mean"]["x"] == np.mean(np.arange(5, 10.0))
+    assert out["groupby"]["g"] == [1, 2]
+    assert out["groupby"]["x"] == [5.0 + 6 + 7, 8.0 + 9]
+
+
+def test_graphql_where_ops(df_local):
+    out = df_local.graphql.query({"where": {"name": {"_eq": "n0"}}, "count": True})
+    assert out["count"] == 4
+    out = df_local.graphql.query({
+        "where": {"_or": [{"x": {"_lt": 1}}, {"x": {"_gte": 9}}]}, "count": True})
+    assert out["count"] == 2
+    out = df_local.graphql.query({"where": {"g": {"_in": [0, 2]}}, "count": True})
+    assert out["count"] == 6
+
+
+def test_graphql_rows(df_local):
+    out = df_local.graphql.query({"row": {"offset": 2, "limit": 2, "columns": ["x", "g"]}})
+    assert out["rows"] == [{"x": 2.0, "g": 0}, {"x": 3.0, "g": 0}]
