@@ -110,3 +110,20 @@ def test_fits_roundtrip(tmp_path):
     assert df2["i"].tolist() == list(range(5))
     assert df2["s"].tolist() == ["aa", "b", "ccc", "d", "e"]
     assert df2.sum("x") == 10.0
+
+
+def test_export_many(df_src, tmp_path):
+    paths = df_src[["x", "i"]].export_many(str(tmp_path / "part-{i:02d}.parquet"),
+                                           max_rows_per_file=4)
+    assert len(paths) == 3
+    df = vt.open_many(paths)
+    assert len(df) == 10
+    assert df.sum("i") == 45
+
+
+def test_export_partitioned(df_src, tmp_path):
+    df = vt.from_arrays(g=np.array([0, 0, 1], dtype="i8"), x=np.arange(3.0))
+    paths = df.export_partitioned(str(tmp_path / "data.parquet"), by="g")
+    assert len(paths) == 2
+    df0 = vt.open(paths[0])
+    assert len(df0) == 2

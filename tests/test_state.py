@@ -99,3 +99,18 @@ def test_progress_cancel():
         assert task.exception is not None
     finally:
         df.executor.signal_progress.disconnect(cb)
+
+
+def test_progress_bar_and_trace(capsys):
+    import io
+    df = _fresh()
+    df._tile_rows = 3
+    from vaex_tpu.progress import ProgressBar
+    out = io.StringIO()
+    pb = ProgressBar(out=out)
+    df.sum("x", progress=pb)
+    assert "%" in out.getvalue()
+    trace = df.executor.trace_log[-1]
+    assert trace["rows"] == 10
+    assert trace["wall_s"] >= 0
+    assert any("agg" in t for t in trace["tasks"])

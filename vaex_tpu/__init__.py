@@ -41,6 +41,8 @@ from . import ml  # noqa: E402,F401  (registers the df.ml accessor)
 from . import viz  # noqa: E402,F401  (registers the df.viz accessor)
 from . import struct  # noqa: E402,F401  (struct_get/_project + expr.struct)
 from . import graphql  # noqa: E402,F401  (registers the df.graphql accessor)
+from . import jupyter  # noqa: E402,F401  (registers the df.widget accessor)
+from . import progress  # noqa: E402,F401
 
 __version__ = "0.1.0"
 

@@ -601,10 +601,12 @@ class DataFrame:
     async def execute_async(self):
         self.execute()
 
-    def _delay(self, delay, promise, progressbar=False):
+    def _delay(self, delay, promise, progress=None):
         if delay:
             return promise
-        self.execute()
+        from .progress import scoped_progress
+        with scoped_progress(self.executor, progress):
+            self.execute()
         return promise.get()
 
     def _create_binners(self, binby, limits, shape, delay=False):
@@ -683,7 +685,7 @@ class DataFrame:
                 return np.array(out) if ndim == 0 else np.stack([np.asarray(o) for o in out])
             return out[0]
         result = finish(*promises)
-        return self._delay(delay, result)
+        return self._delay(delay, result, progress=progress)
 
     def count(self, expression=None, binby=[], limits=None, shape=128, selection=False,
               delay=False, edges=False, progress=None, array_type=None):
@@ -1449,6 +1451,47 @@ class DataFrame:
     def export_csv(self, path, progress=None, chunk_size=None, parallel=True, **kwargs):
         from .io import export as export_module
         export_module.export_csv(self, path, chunk_size=chunk_size, **kwargs)
+
+    def export_fits(self, path, progress=None):
+        from .io import fits
+        fits.export_fits(self, path)
+
+    def export_many(self, path, chunk_size=None, max_rows_per_file=None, progress=None):
+        """Export into multiple files; path must contain a {i} or {i:0Nd}
+        format slot (reference dataframe.py:6478 export_many)."""
+        n = len(self)
+        per_file = max_rows_per_file or chunk_size or max(1, -(-n // 8))
+        paths = []
+        i = 0
+        offset = 0
+        while offset < n or (n == 0 and i == 0):
+            sub = self[offset:min(offset + per_file, n)]
+            out = path.format(i=i)
+            sub.export(out)
+            paths.append(out)
+            offset += per_file
+            i += 1
+        return paths
+
+    def export_partitioned(self, path, by, directory_format="{key}={value}", progress=None):
+        """Hive-style partitioned export (reference dataframe.py:6426)."""
+        import os
+        by = [str(b) for b in (by if isinstance(by, (list, tuple)) else [by])]
+        assert len(by) == 1, "single partition key in this round"
+        key = by[0]
+        values = self.unique(key, array_type="list")
+        paths = []
+        for value in values:
+            if value is None:
+                continue
+            sub = self.filter(f"({key} == {value!r})")
+            d = os.path.join(os.path.dirname(path) or ".",
+                             directory_format.format(key=key, value=value))
+            os.makedirs(d, exist_ok=True)
+            out = os.path.join(d, os.path.basename(path))
+            sub.export(out)
+            paths.append(out)
+        return paths
 
     # ------------------------------------------------------------- state
     def state_get(self, skip=None):

@@ -100,6 +100,7 @@ class Executor:
         self.passes = 0
         self._step_cache = {}
         self.local_cache = {}
+        self.trace_log = []
 
     def schedule(self, task: Task):
         self.tasks.append(task)
@@ -143,8 +144,10 @@ class ExecutorLocal(Executor):
 
     # -- the pass -----------------------------------------------------------
     def _execute_pass(self, df, tasks):
+        import time
         from .cache import lookup as cache_lookup, store as cache_store
         self.passes += 1
+        t_start = time.time()
         self.signal_begin.emit()
 
         # result cache (reference: execution.py:96-109)
@@ -314,6 +317,20 @@ class ExecutorLocal(Executor):
             result = task.get_result()
             if hasattr(task, "_cache_key"):
                 cache_store(task._cache_key, result)
+        # pass trace (SURVEY §5: the reference only has a passes counter;
+        # here every pass logs rows/tiles/wall time for profiling)
+        import time as _t
+        self.trace_log.append({
+            "pass": self.passes,
+            "wall_s": _t.time() - t_start,
+            "rows": n_total,
+            "tile_rows": T,
+            "tasks": [t.name for t in device_tasks + host_tasks],
+            "device_tasks": len(device_tasks),
+            "host_tasks": len(host_tasks),
+        })
+        if len(self.trace_log) > 1000:
+            del self.trace_log[:500]
         self.signal_end.emit()
 
     # -- compiled step cache -------------------------------------------------
