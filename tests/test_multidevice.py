@@ -72,3 +72,40 @@ def test_spmd_matches_single_device(dist_df):
         a = dist_df.sum("x", selection=sel or False)
         b = df_single.sum("x", selection=sel or False)
         assert a == b
+
+
+def test_shuffle_groupby():
+    import jax
+    if len(jax.devices()) < 2:
+        pytest.skip("needs multiple devices")
+    from vaex_tpu.parallel import data_mesh
+    from vaex_tpu.parallel.shuffle import shuffle_groupby
+
+    N, G = 10000, 1000
+    rng = np.random.default_rng(0)
+    keys = rng.integers(0, G, N)
+    x = rng.random(N)
+    df = vt.from_arrays(k=keys.astype("i8"), x=x)
+    mesh = data_mesh()
+    out = shuffle_groupby(df, "astype(k, 'int32')", ["x"], G, mesh)
+    npt.assert_array_equal(out["count"], np.bincount(keys, minlength=G))
+    npt.assert_allclose(out["x"], np.bincount(keys, weights=x, minlength=G), rtol=1e-9)
+
+
+def test_shuffle_overflow_detection():
+    import jax
+    if len(jax.devices()) < 2:
+        pytest.skip("needs multiple devices")
+    from vaex_tpu.parallel import data_mesh
+    from vaex_tpu.parallel.shuffle import shuffle_groupby
+
+    # all rows share one key -> every row goes to one device: must overflow
+    # at low slack and raise
+    N, G = 4096, 64
+    df = vt.from_arrays(k=np.zeros(N, "i8"), x=np.ones(N))
+    mesh = data_mesh()
+    with pytest.raises(RuntimeError):
+        shuffle_groupby(df, "astype(k, 'int32')", ["x"], G, mesh, slack=1)
+    out = shuffle_groupby(df, "astype(k, 'int32')", ["x"], G, mesh,
+                          slack=8 * len(jax.devices()))
+    assert out["count"][0] == N
