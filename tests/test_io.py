@@ -127,3 +127,20 @@ def test_export_partitioned(df_src, tmp_path):
     assert len(paths) == 2
     df0 = vt.open(paths[0])
     assert len(df0) == 2
+
+
+def test_open_remote_memory_fs(df_src, tmp_path):
+    fsspec = pytest.importorskip("fsspec")
+    local = str(tmp_path / "remote.parquet")
+    df_src[["x", "i"]].export(local)
+    fs = fsspec.filesystem("memory")
+    with open(local, "rb") as f:
+        data = f.read()
+    with fs.open("/bucket/remote.parquet", "wb") as f:
+        f.write(data)
+    df = vt.open("memory://bucket/remote.parquet")
+    assert len(df) == 10
+    assert df.sum("i") == 45
+    # second open hits the local content cache
+    df2 = vt.open("memory://bucket/remote.parquet")
+    assert df2.sum("i") == 45

@@ -129,6 +129,9 @@ def open(path, convert=False, shuffle=False, fs_options=None, fs=None, *args, **
     row groups lazily.  Glob patterns open many files concatenated.
     """
     path = str(path)
+    from .io.remote import is_remote, open_remote
+    if is_remote(path):
+        return open_remote(path, fs_options)
     if any(c in path for c in "*?["):
         return open_many(sorted(_glob.glob(path)))
     ext = _os.path.splitext(path)[1].lower()
