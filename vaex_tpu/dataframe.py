@@ -1044,9 +1044,11 @@ class DataFrame:
         back to the host chunk path.
         """
         expression = str(expression)
+        from . import settings
         from .tasks import SetCapOverflow, TaskSetCreateDevice
         if expression_is_device(self, expression):
-            for cap in (65536, 1 << 20):
+            tile_cap = self._tile_rows or settings.TILE_ROWS
+            for cap in (65536, 1 << 20, tile_cap):
                 task = TaskSetCreateDevice(self, expression, keep_counts=keep_counts,
                                            limit=limit if limit_raise else None,
                                            pre_filter=self.filtered, cap=cap)

@@ -160,28 +160,41 @@ def _take_bin_values(bin_values, ordinals):
     return bin_values[ordinals]
 
 
-def _make_grouper(by, df, sort, ascending, row_limit):
+def _dense_candidates(names, df, row_limit):
+    """One fused minmax+count pass over ALL integer keys -> {name: (lo, hi, n)}."""
+    if row_limit is not None:  # row_limit needs the exact observed group count
+        return {}
+    from .datatype import DataType
+    pending = {}
+    for name in names:
+        try:
+            if DataType(df.data_type(name)).is_integer:
+                pending[name] = (df.minmax(name, delay=True), df.count(name, delay=True))
+        except Exception:
+            continue
+    if not pending:
+        return {}
+    df.execute()
+    out = {}
+    for name, (mm, cnt) in pending.items():
+        lo, hi = np.asarray(mm.get())
+        out[name] = (int(lo), int(hi), int(np.asarray(cnt.get())))
+    return out
+
+
+def _make_grouper(by, df, sort, ascending, row_limit, dense_info=None):
     if isinstance(by, (Grouper, GrouperCategory, GrouperCombined, GrouperDense, BinnerTime)):
         return by
     name = str(by) if not isinstance(by, Expression) else by.expression
     if df.is_category(name):
         return GrouperCategory(name, df, sort=sort, ascending=ascending, row_limit=row_limit)
     # dense fast path: integer key, no nulls/NaN, narrow range -> bin directly
-    if row_limit is None:  # row_limit needs the exact observed group count
-        try:
-            from .datatype import DataType
-            dt = DataType(df.data_type(name))
-            if dt.is_integer:
-                mm = df.minmax(name, delay=True)
-                cnt = df.count(name, delay=True)
-                df.execute()
-                lo, hi = np.asarray(mm.get())
-                span = int(hi) - int(lo) + 1
-                n_valid = int(np.asarray(cnt.get()))
-                if span <= DENSE_RANGE_MAX and n_valid == len(df):
-                    return GrouperDense(name, df, lo, hi, sort=sort, ascending=ascending)
-        except Exception:
-            pass  # fall back to the general set-build grouper
+    info = (dense_info or {}).get(name)
+    if info is not None:
+        lo, hi, n_valid = info
+        span = hi - lo + 1
+        if span <= DENSE_RANGE_MAX and n_valid == len(df):
+            return GrouperDense(name, df, lo, hi, sort=sort, ascending=ascending)
     return Grouper(name, df, sort=sort, ascending=ascending, row_limit=row_limit)
 
 
@@ -251,8 +264,15 @@ class GroupByBase:
         ascending_list = ascending if isinstance(ascending, (list, tuple)) else [ascending] * len(by)
         self.by_names = []
         groupers = []
+        plain_names = [str(b) if not isinstance(b, Expression) else b.expression
+                       for b in by
+                       if not isinstance(b, (Grouper, GrouperCategory, GrouperCombined,
+                                             GrouperDense, BinnerTime))
+                       and not self.df.is_category(str(b) if not isinstance(b, Expression)
+                                                   else b.expression)]
+        dense_info = _dense_candidates(plain_names, self.df, row_limit)
         for b, asc in zip(by, ascending_list):
-            g = _make_grouper(b, self.df, sort, asc, row_limit)
+            g = _make_grouper(b, self.df, sort, asc, row_limit, dense_info=dense_info)
             groupers.append(g)
             self.by_names.append(_grouper_output_name(g))
         self.combined = None
