@@ -114,3 +114,27 @@ def test_progress_bar_and_trace(capsys):
     assert trace["rows"] == 10
     assert trace["wall_s"] >= 0
     assert any("agg" in t for t in trace["tasks"])
+
+
+def test_pickle_roundtrip():
+    import pickle
+    df = _fresh()
+    df["r"] = df.x * 2
+    df2 = pickle.loads(pickle.dumps(df))
+    assert len(df2) == 10
+    npt.assert_allclose(df2["r"].tolist(), X * 2)
+    assert df2.sum("x") == X.sum()
+
+
+def test_pickle_filtered():
+    import pickle
+    df = _fresh().filter("x > 4")
+    df2 = pickle.loads(pickle.dumps(df))
+    assert len(df2) == 5
+
+
+def test_shape_dtypes():
+    df = _fresh()
+    assert df.shape == (10, 2)
+    assert df.dtypes["x"] == "float64"
+    assert df.byte_size() == 10 * 16

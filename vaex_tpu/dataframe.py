@@ -1518,6 +1518,41 @@ class DataFrame:
             state = json.load(f)
         return self.state_set(state, set_filter=set_filter)
 
+    # ------------------------------------------------------------- pickling
+    def __reduce__(self):
+        """Pickle = (columns as host arrays) + the pure-metadata state
+        (reference: dataframe pickling via dataset registry + state)."""
+        columns = {}
+        for name in self.dataset:
+            col = self.dataset[name]
+            values = col[0:self.dataset.row_count] if hasattr(col, "__getitem__") else col
+            values = array_types.to_numpy(values) if not isinstance(
+                values, (np.ndarray, np.ma.MaskedArray)) else values
+            columns[name] = values
+        return (_unpickle_dataframe, (columns, self.state_get()))
+
+    @property
+    def dtypes(self):
+        import pandas as pd
+        names = self.get_column_names()
+        return pd.Series({n: self.data_type(n).name for n in names})
+
+    @property
+    def shape(self):
+        return (len(self), len(self.get_column_names()))
+
+    def byte_size(self, selection=False, virtual=False):
+        total = 0
+        for name in self.get_column_names(virtual=virtual):
+            dt = DataType(self.data_type(name))
+            if dt.is_string:
+                continue
+            total += dt.numpy.itemsize * len(self)
+        return total
+
+    def close(self):
+        self.dataset.close()
+
     # ------------------------------------------------------------- dunder
     def __repr__(self):
         from .formatting import format_dataframe
@@ -1554,6 +1589,13 @@ class DataFrame:
             object.__setattr__(self, name, acc)
             return acc
         raise AttributeError(name)
+
+
+def _unpickle_dataframe(columns, state):
+    from . import from_arrays
+    df = from_arrays(**columns)
+    df.state_set(state)
+    return df
 
 
 _df_accessors = {}
