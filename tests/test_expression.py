@@ -141,3 +141,27 @@ def test_count_with_datetime(df_local):
     df = vt.from_arrays(t=t)
     assert df.count("t") == 10
     assert df.min("t") == np.datetime64("2015-01-01") or True  # dtype handling refined later
+
+
+def _triple(x):
+    return x * 3
+
+
+def test_apply_multiprocessing(df_local):
+    df = df_local
+    name = df.add_function("triple", _triple, multiprocessing=True)
+    values = df.evaluate(f"{name}(x)")
+    npt.assert_allclose(np.asarray(values), X * 3)
+
+
+def test_delayed_api(df_local):
+    df = df_local
+    s = df.sum("x", delay=True)
+    c = df.count(delay=True)
+
+    @vt.delayed
+    def mean(s, c):
+        return s / c
+    m = mean(s, c)
+    df.execute()
+    npt.assert_allclose(m.get(), X.mean())

@@ -43,6 +43,7 @@ from . import struct  # noqa: E402,F401  (struct_get/_project + expr.struct)
 from . import graphql  # noqa: E402,F401  (registers the df.graphql accessor)
 from . import jupyter  # noqa: E402,F401  (registers the df.widget accessor)
 from . import progress  # noqa: E402,F401
+from .delayed import delayed  # noqa: E402,F401  (API parity: vaex.delayed)
 
 __version__ = "0.1.0"
 

@@ -207,7 +207,7 @@ class DataFrame:
         self.variables[name] = value
         return name
 
-    def add_function(self, name, f, vectorize=True, unique=False):
+    def add_function(self, name, f, vectorize=True, unique=False, multiprocessing=False):
         from .registry import expression_namespace_host
         if unique:
             self._var_counter += 1
@@ -215,8 +215,12 @@ class DataFrame:
         name = find_valid_name(name)
         self.functions[name] = f
 
-        def host_impl(*args, _f=f, _vectorize=vectorize):
+        def host_impl(*args, _f=f, _vectorize=vectorize, _mp=multiprocessing):
             datas = [array_types.to_numpy(a) if not np.isscalar(a) else a for a in args]
+            if _mp:
+                # GIL-dodging python UDFs (reference multiprocessing.py:28-35)
+                from .multiprocessing import apply_parallel
+                return apply_parallel(_f, datas, vectorize=_vectorize)
             if _vectorize:
                 return np.asarray(_f(*datas))
             return np.asarray([_f(*row) for row in zip(*datas)])

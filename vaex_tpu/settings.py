@@ -35,6 +35,31 @@ NUM_THREADS_IO = _int_env("VAEX_TPU_NUM_THREADS_IO", 8)
 _main = {}
 
 
+def _load_yaml():
+    """~/.vaex_tpu/main.yml dotted-key settings (reference: settings.py:20-65)."""
+    path = os.path.join(os.path.expanduser("~"), ".vaex_tpu", "main.yml")
+    if not os.path.exists(path):
+        return
+    try:
+        import yaml
+        with open(path) as f:
+            data = yaml.safe_load(f) or {}
+
+        def flatten(prefix, d):
+            for k, v in d.items():
+                key = f"{prefix}.{k}" if prefix else str(k)
+                if isinstance(v, dict):
+                    flatten(key, v)
+                else:
+                    _main[key] = v
+        flatten("", data)
+    except Exception:  # settings must never break import
+        pass
+
+
+_load_yaml()
+
+
 def get(key: str, default=None):
     """Dotted-key settings access (reference: vaex settings.py:20-65)."""
     return _main.get(key, default)
