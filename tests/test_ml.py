@@ -126,3 +126,31 @@ def test_groupby_transformer(df_ml):
     out = t.transform(df_ml)
     values = np.asarray(out["xs"].tolist())
     assert values[0] == 0 + 2 + 5 + 6 + 9  # sum of x over 'a'
+
+
+def test_sklearn_predictor(df_ml):
+    sklearn = pytest.importorskip("sklearn")
+    from sklearn.linear_model import LinearRegression
+    from vaex_tpu.ml.sklearn import Predictor
+
+    p = Predictor(model=LinearRegression(), features=["x"], target="y",
+                  prediction_name="pred")
+    p.fit(df_ml)
+    out = p.transform(df_ml)
+    pred = np.asarray(out["pred"].tolist())
+    # y = x^2 fitted linearly still correlates strongly on [0,9]
+    assert np.corrcoef(pred, np.asarray(df_ml["y"].tolist()))[0, 1] > 0.95
+    # predictions usable in further expressions / aggregations
+    assert out.count("pred") == 10
+
+
+def test_sklearn_incremental(df_ml):
+    sklearn = pytest.importorskip("sklearn")
+    from sklearn.linear_model import SGDRegressor
+    from vaex_tpu.ml.sklearn import IncrementalPredictor
+
+    p = IncrementalPredictor(model=SGDRegressor(random_state=0), features=["x"],
+                             target="y", batch_size=4, num_epochs=30)
+    p.fit(df_ml)
+    out = p.transform(df_ml)
+    assert out.count("prediction") == 10

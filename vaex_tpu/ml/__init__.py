@@ -26,6 +26,9 @@ from .transformations import (  # noqa: F401
     GroupByTransformer,
 )
 
+from . import sklearn  # noqa: F401
+from .sklearn import IncrementalPredictor, Predictor  # noqa: F401
+
 from ..dataframe import register_dataframe_accessor
 
 
