@@ -48,6 +48,15 @@ def get_main_executor():
 
 class DataFrame:
     def __init__(self, dataset: Dataset, executor=None):
+        from .utils import valid_expression_name
+        # invalid identifiers can't appear in expressions: rename on entry
+        # (reference: utils.find_valid_name mangling)
+        renaming = {}
+        for name in list(dataset):
+            if not valid_expression_name(name):
+                renaming[name] = find_valid_name(name, used=set(dataset) | set(renaming.values()))
+        if renaming:
+            dataset = dataset.renamed(renaming)
         self.dataset = dataset
         self.executor = executor or get_main_executor()
         self.column_names: List[str] = list(dataset)
