@@ -165,3 +165,18 @@ def test_delayed_api(df_local):
     m = mean(s, c)
     df.execute()
     npt.assert_allclose(m.get(), X.mean())
+
+
+def test_str_split_join(df_local):
+    df = vt.from_arrays(s=np.asarray(["a b", "c d e", "f"], dtype=object))
+    parts = df["str_split(s, ' ')"].evaluate()
+    assert parts.to_pylist() == [["a", "b"], ["c", "d", "e"], ["f"]]
+    joined = df["str_join(str_split(s, ' '), '-')"].tolist()
+    assert joined == ["a-b", "c-d-e", "f"]
+
+
+def test_evaluate_jax_array_type(df_local):
+    import jax.numpy as jnp
+    values = df_local.evaluate("x * 2", array_type="jax")
+    assert isinstance(values, jnp.ndarray)
+    npt.assert_allclose(np.asarray(values), X * 2)

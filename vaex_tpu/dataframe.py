@@ -590,6 +590,10 @@ class DataFrame:
             values = array_types.to_numpy(values)
         elif array_type == "arrow":
             values = array_types.to_arrow(values)
+        elif array_type == "jax":
+            import jax.numpy as jnp
+            values = values if isinstance(values, jnp.ndarray) else jnp.asarray(
+                array_types.to_numpy(values))
         elif array_type == "list" or array_type == "python":
             values = array_types.to_numpy(values)
             values = values.tolist(None) if isinstance(values, np.ma.MaskedArray) else values.tolist()

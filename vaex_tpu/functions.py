@@ -490,6 +490,36 @@ def _str_cat(x, other):
 register_function(scope="str", name="cat", host=_str_cat)(None)
 
 
+def _str_split(x, pattern=" ", max_splits=None, regex=False):
+    """split -> arrow list array (reference strings.cpp split / StringListList)."""
+    a = _to_pa(x)
+    kwargs = {} if max_splits is None else {"max_splits": max_splits}
+    if regex:
+        return pc.split_pattern_regex(a, pattern, **kwargs)
+    return pc.split_pattern(a, pattern, **kwargs)
+
+
+register_function(scope="str", name="split", host=_str_split)(None)
+
+
+def _str_join(x, separator=" "):
+    """join a list-of-strings column back into strings."""
+    return pc.binary_join(_to_pa(x), separator)
+
+
+register_function(scope="str", name="join", host=_str_join)(None)
+register_function(scope="str", name="title", host=_str_simple("utf8_title"))(None)
+register_function(scope="str", name="capitalize", host=_str_simple("utf8_capitalize"))(None)
+register_function(scope="str", name="isnumeric", host=_str_simple("utf8_is_numeric"))(None)
+register_function(scope="str", name="len_unicode", host=_str_simple("utf8_length"))(None)
+register_function(scope="str", name="index_of",
+                  host=lambda x, sub: pc.find_substring(_to_pa(x), sub))(None)
+register_function(scope="str", name="extract_regex",
+                  host=lambda x, pat: pc.extract_regex(_to_pa(x), pat))(None)
+register_function(scope="str", name="count_substring",
+                  host=lambda x, sub: pc.count_substring(_to_pa(x), sub))(None)
+
+
 def _pnpoly_kernel(np_mod, x, y, xp_, yp_):
     """Crossing-number point-in-polygon (replaces vaexfast.cpp:1757 pnpoly)."""
     inside = np_mod.zeros(x.shape, bool)

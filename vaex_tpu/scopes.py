@@ -74,6 +74,8 @@ def _host_wrap(v):
             t = t.value_type
         if pa.types.is_string(t) or pa.types.is_large_string(t):
             return HostStr(v)
+        if (pa.types.is_list(t) or pa.types.is_large_list(t) or pa.types.is_struct(t)):
+            return v  # nested arrow types stay arrow (str_split results etc.)
         return array_types.to_numpy(v)
     if isinstance(v, np.ndarray) and v.dtype == object:
         return HostStr(pa.array(v)) if pa is not None else v
