@@ -141,3 +141,23 @@ def test_binner_time():
     dfg = df.groupby(by, agg={"y": "sum"})
     expected = [y[k * 7:(k + 1) * 7].sum() for k in range(5)]
     npt.assert_allclose(dfg["y"].tolist(), expected)
+
+
+def test_groupby_string_device_codes(df_local):
+    # to_device dictionary-encodes strings: groupby bins on device codes
+    df = df_local.to_device()
+    assert df.is_category("name")
+    dfg = df.groupby("name", agg="count", sort=True)
+    assert dfg["name"].tolist() == ["n0", "n1", "n2"]
+    assert dfg["count"].tolist() == [4, 3, 3]
+
+
+def test_groupby_string_device_codes_with_null():
+    import pyarrow as pa
+    df = vt.from_arrays(s=pa.array(["a", None, "b", "a"]), x=np.arange(4.0))
+    df = df.to_device()
+    dfg = df.groupby("s", agg={"c": "count"}, sort=True)
+    keys = dfg["s"].tolist()
+    assert keys[:2] == ["a", "b"]
+    assert keys[2] is None
+    assert dfg["c"].tolist() == [2, 1, 1]

@@ -1320,16 +1320,45 @@ class DataFrame:
 
         The executor skips host->device transfer for jnp-backed columns, so
         repeated queries run at kernel speed — the TPU analogue of the
-        reference's in-RAM mmap'd columns.  Strings/objects stay host-side.
+        reference's in-RAM mmap'd columns.  String columns are
+        dictionary-encoded ONCE (the SURVEY §7.1 design: codes ride on
+        device as int32, labels stay host-side): the column becomes a
+        category, so string groupbys bin directly on device codes, while
+        string kernels keep working against the original host column.
         """
         import jax.numpy as jnp
         names = column_names or self.get_column_names(virtual=False, hidden=True)
         columns = {}
+        df_meta = self.copy()
         for name in names:
             if name not in self.dataset:
                 continue
             col = self.dataset[name]
-            values = array_types.to_numpy(col[:]) if hasattr(col, "__getitem__") else col
+            raw = col[:] if hasattr(col, "__getitem__") else col
+            dt = DataType(dtype_of(col))
+            if dt.is_string:
+                import pyarrow as pa
+                import pyarrow.compute as pc
+                arr = array_types.to_arrow(raw)
+                if isinstance(arr, pa.ChunkedArray):
+                    arr = arr.combine_chunks()
+                encoded = pc.dictionary_encode(arr)
+                if isinstance(encoded, pa.ChunkedArray):
+                    encoded = encoded.combine_chunks()
+                labels = encoded.dictionary.to_pylist()
+                codes = np.asarray(encoded.indices.fill_null(len(labels))).astype(np.int32)
+                has_null = encoded.indices.null_count > 0
+                if has_null:
+                    labels = labels + [None]
+                codes_name = f"__{name}_codes"
+                columns[codes_name] = jnp.asarray(codes)
+                columns[name] = col  # original strings stay host-side
+                df_meta._categories[name] = {"labels": labels, "N": len(labels),
+                                             "min_value": 0, "codes_column": codes_name}
+                if codes_name not in df_meta.column_names:
+                    df_meta.column_names.append(codes_name)
+                continue
+            values = array_types.to_numpy(raw)
             if isinstance(values, np.ma.MaskedArray) or (
                     isinstance(values, np.ndarray) and values.dtype.kind in "OUSMm"):
                 columns[name] = col  # keep host-side
@@ -1337,8 +1366,9 @@ class DataFrame:
                 columns[name] = jnp.asarray(values)
             else:
                 columns[name] = col
-        df = self._rebind_dataset(DatasetArrays(columns), keep_filter=True)
-        df.column_names = list(self.column_names)
+        df = df_meta._rebind_dataset(DatasetArrays(columns), keep_filter=True)
+        df.column_names = [n for n in df_meta.column_names if n in columns or
+                           n in df_meta.virtual_columns]
         return df
 
     def materialize(self, column=None, inplace=False):

@@ -105,9 +105,9 @@ class GrouperCategory:
         self.bin_values = np.asarray(labels)
         meta = df._categories.get(self.expression)
         binby_expression = self.expression
-        # a lazily ordinal-encoded column refers to its codes virtual column
-        codes = f"__{self.expression}_codes"
-        if codes in df.virtual_columns:
+        # dictionary-encoded columns (to_device/ordinal_encode) bin on codes
+        codes = (meta or {}).get("codes_column") or f"__{self.expression}_codes"
+        if codes in df.virtual_columns or codes in df.dataset:
             binby_expression = codes
         self.binby_expression = binby_expression
         self.ordinal_expression = (f"(astype({binby_expression}, 'int64') - {self.min_value})"
@@ -115,7 +115,12 @@ class GrouperCategory:
         self.binner = BinnerOrdinal(self.binby_expression, self.min_value, self.N)
         self.sort_indices = None
         if sort:
-            order = np.argsort(self.bin_values, kind="stable")
+            bv = self.bin_values
+            if bv.dtype == object:  # null labels sort last (arrow order)
+                order = np.asarray(sorted(range(self.N),
+                                          key=lambda i: (bv[i] is None, bv[i] or "")))
+            else:
+                order = np.argsort(bv, kind="stable")
             if not ascending:
                 order = order[::-1]
             if not np.array_equal(order, np.arange(self.N)):

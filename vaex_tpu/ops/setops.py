@@ -54,8 +54,7 @@ def _unique_and_counts(data, keep_counts):
                 cnt = np.asarray(vc.field("counts")).astype(np.int64)
                 order = np.argsort(uniq, kind="stable")
                 return uniq[order], cnt[order]
-            uniq = np.asarray(pc.unique(pa.array(data)))
-            uniq.sort()
+            uniq = np.sort(np.asarray(pc.unique(pa.array(data))))  # arrow buffers are read-only
             return uniq, None
         except ImportError:
             pass
