@@ -163,18 +163,18 @@ class TaskAggregations(Task):
         return new_state, None
 
     def update_spmd(self, state, ctx, axis_name):
-        """Per-device: aggregate the local row shard into a zero grid, then
-        merge into the replicated state with the op's collective (psum/pmin/
-        pmax) — replaces the reference's per-thread parts + tree reduce."""
+        """Per-device: aggregate the local row shard into a zero grid (with
+        the same batched one-hot/sort strategies as the single-device path),
+        then merge into the replicated state with each op's collective
+        (psum/pmin/pmax) — replaces the reference's per-thread parts + tree
+        reduce."""
         import jax.numpy as jnp
         from .ops.binners import grid_size
-        flat = self._flat_indices(ctx)
         G = grid_size(self.binners)
-        new_state = []
-        for op, s in zip(self.subtasks, state):
-            zero = tuple(jnp.asarray(z) for z in op.initial_state(G))
-            delta = op.update(zero, flat, ctx)
-            new_state.append(tuple(op.merge(tuple(s), tuple(delta), axis_name)))
+        zeros = [tuple(jnp.asarray(z) for z in op.initial_state(G)) for op in self.subtasks]
+        deltas, _ = self.update(zeros, ctx)
+        new_state = [tuple(op.merge(tuple(s), tuple(d), axis_name))
+                     for op, s, d in zip(self.subtasks, state, deltas)]
         return new_state, None
 
     def _flat_indices(self, ctx):
