@@ -117,3 +117,10 @@ def test_real_tornado_server():
         assert payload["counts"] == [2, 2, 2, 2, 2]
     finally:
         loop_holder["loop"].add_callback(loop_holder["loop"].stop)
+
+
+def test_remote_groupby(remote_df):
+    out = remote_df.groupby("g", agg={"s": ("sum", "x"), "c": "count"})
+    npt.assert_array_equal(out["g"], [0, 1, 2])
+    npt.assert_allclose(out["s"], [0 + 1 + 2 + 3, 4 + 5 + 6 + 7, 8 + 9])
+    npt.assert_array_equal(out["c"], [4, 4, 2])

@@ -138,7 +138,10 @@ def fused_additive(idx, cols, G, block=FUSED_BLOCK):
     import jax
     from . import pallas_gridagg
     if pallas_gridagg.is_available():
-        return pallas_gridagg.fused_additive_pallas(idx, cols.astype(jnp.float64), G)
+        if G <= 2048:
+            return pallas_gridagg.fused_additive_pallas(idx, cols.astype(jnp.float64), G)
+        if G <= pallas_gridagg.TWO_LEVEL_MAX_G:
+            return pallas_gridagg.fused_additive_two_level(idx, cols.astype(jnp.float64), G)
     N, A = cols.shape
     block = min(block, max(256, 1 << (N - 1).bit_length()))
     nb = -(-N // block)

@@ -109,6 +109,118 @@ def fused_additive_pallas(idx, cols, G, block=BLOCK):
     return out[:, :G].T
 
 
+# ---------------------------------------------------------------------------
+# Two-level one-hot kernel for mid-cardinality grids (2048 < G <= ~131072).
+#
+# The flat one-hot no longer fits VMEM, but the grid factorizes: with
+# idx = hi * 128 + lo, out[h, l] = sum_r [hi_r == h] * ([lo_r == l] * v_r)
+# is ONE matmul per value column: onehot_hi.T [H, B] @ (onehot_lo * v) [B, 128].
+# Both one-hots live only in VMEM; the [H, 128] accumulator stays resident.
+# This replaces the device argsort path (TPU sort: ~600ms for 1e7 rows) for
+# additive aggregates.  Precision: hi columns use HIGHEST (bf16x3) matmuls,
+# lo-correction columns DEFAULT (their magnitudes are ~1e-8 of the values).
+
+LO = 128  # lane-dimension digit
+
+
+def _agg2_kernel(idx_ref, cols_ref, acc_ref, err_ref, *, h_pad, n_hi_cols):
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+        err_ref[:] = jnp.zeros_like(err_ref)
+
+    idx = idx_ref[:]                    # [B] int32 (drop rows carry h_pad*LO)
+    hi = idx // LO
+    lo = idx - hi * LO
+    B = idx.shape[0]
+    bins_lo = jax.lax.broadcasted_iota(jnp.int32, (B, LO), 1)
+    onehot_lo = (lo[:, None] == bins_lo).astype(jnp.float32)       # [B, 128]
+    bins_hi = jax.lax.broadcasted_iota(jnp.int32, (B, h_pad), 1)
+    onehot_hi = (hi[:, None] == bins_hi).astype(jnp.float32)       # [B, H]
+    a2 = cols_ref.shape[0]
+    contract = (((0,), (0,)), ((), ()))  # contract over rows, no transpose copy
+    default = jax.lax.Precision.DEFAULT
+
+    def dot(m, precision=default):
+        return jax.lax.dot_general(onehot_hi, m, contract,
+                                   preferred_element_type=jnp.float32,
+                                   precision=precision)             # [H, 128]
+
+    for a in range(a2):
+        v = cols_ref[a, :]                                          # [B]
+        m = onehot_lo * v[:, None]                                  # [B, 128]
+        if a < n_hi_cols:
+            # manual bf16x3 limb decomposition of the VALUE operand only:
+            # the one-hot operand is exact in bf16, so HIGHEST (which would
+            # limb-split BOTH operands and triple the big one-hot in VMEM)
+            # is wasted on it — 3 DEFAULT dots give the same f32 fidelity
+            m1 = m.astype(jnp.bfloat16).astype(jnp.float32)
+            r = m - m1
+            m2 = r.astype(jnp.bfloat16).astype(jnp.float32)
+            m3 = r - m2
+            partial = dot(m1) + dot(m2) + dot(m3)
+        else:
+            partial = dot(m)
+        acc = acc_ref[a, :, :]
+        new = acc + partial
+        err_ref[a, :, :] += (acc - new) + partial
+        acc_ref[a, :, :] = new
+
+
+def fused_additive_two_level(idx, cols, G, block=2048):
+    """idx [N] int32, cols [N, A] float64 -> [G, A] float64, for G up to
+    h_max * 128 (one-hot-hi block must fit VMEM: block x H x 4 bytes)."""
+    N, A = cols.shape
+    H = -(-G // LO)
+    h_pad = max(_round_up(H, 8), 8)
+    # keep the hi one-hot small enough that the whole working set (one-hots,
+    # double-buffered inputs, acc+err) stays inside the 16MB VMEM
+    while block * h_pad * 4 > (3 << 20) and block > 1024:
+        block //= 2  # 1-D i32 blocks must stay multiples of 1024 (XLA layout)
+    n_pad = _round_up(max(N, block), block) - N
+    drop = h_pad * LO  # an index whose hi digit lands outside [0, H)
+    if n_pad:
+        idx = jnp.concatenate([idx, jnp.full((n_pad,), drop, jnp.int32)])
+    idx = jnp.where(idx >= G, drop, idx).astype(jnp.int32)
+    hi_cols = cols.astype(jnp.float32)
+    lo_cols = (cols - hi_cols.astype(jnp.float64)).astype(jnp.float32)
+    cols32 = jnp.concatenate([hi_cols, lo_cols], axis=1)
+    if n_pad:
+        cols32 = jnp.concatenate([cols32, jnp.zeros((n_pad, 2 * A), jnp.float32)])
+    cols32 = cols32.T  # [2A, N]
+    nb = idx.shape[0] // block
+
+    # +1 hi bucket absorbs dropped rows (hi digit == h_pad lands there)
+    hp = _round_up(h_pad + 1, 8)
+    kernel = functools.partial(_agg2_kernel, h_pad=hp, n_hi_cols=A)
+    with jax.enable_x64(False):
+        acc, err = pl.pallas_call(
+            kernel,
+            grid=(nb,),
+            in_specs=[
+                pl.BlockSpec((block,), lambda i: (i,)),
+                pl.BlockSpec((2 * A, block), lambda i: (0, i)),
+            ],
+            out_specs=[
+                pl.BlockSpec((2 * A, hp, LO), lambda i: (0, 0, 0)),
+                pl.BlockSpec((2 * A, hp, LO), lambda i: (0, 0, 0)),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((2 * A, hp, LO), jnp.float32),
+                jax.ShapeDtypeStruct((2 * A, hp, LO), jnp.float32),
+            ],
+        )(idx, cols32)
+    total = acc.astype(jnp.float64) + err.astype(jnp.float64)      # [2A, hp, LO]
+    flat = total.reshape(2 * A, hp * LO)
+    out = flat[:A, :] + flat[A:, :]
+    return out[:, :G].T
+
+
+TWO_LEVEL_MAX_G = 128 * 1024
+
+
 def is_available():
     if not HAVE_PALLAS:
         return False

@@ -245,6 +245,15 @@ class DataFrameRemote:
     def mode(self, *args, **kwargs):
         return self._rmi("mode", *args, **kwargs)
 
+    def groupby(self, by, agg="count", sort=True):
+        """Remote groupby: agg spec as 'count' or {name: ('sum', 'col')};
+        returns {column: numpy array}."""
+        wire_agg = agg
+        if isinstance(agg, dict):
+            wire_agg = {k: (list(v) if isinstance(v, (list, tuple)) else v)
+                        for k, v in agg.items()}
+        return self._rmi("groupby_agg", by, wire_agg, sort=sort)
+
 
 def connect(url) -> Client:
     """vaex_tpu.server.connect('ws://localhost:9000') (reference vaex.connect)."""

@@ -20,7 +20,7 @@ ALLOWED_METHODS = {
     "count", "sum", "mean", "std", "var", "min", "max", "minmax", "first",
     "nunique", "limits", "limits_percentage", "percentile_approx",
     "median_approx", "covar", "correlation", "mode", "unique", "evaluate",
-    "__len__", "data_type",
+    "__len__", "data_type", "groupby_agg",
 }
 # methods that need trusted mode (arbitrary expressions are fine; pickled
 # functions are not — reference websocket.py token-trusted gate)
@@ -52,6 +52,23 @@ def decode_result(spec):
     return spec["value"]
 
 
+def _decode_agg_spec(spec):
+    """Wire agg specs: strings pass through, {'name': ['sum', 'col']} pairs
+    become descriptors."""
+    from .. import agg as agg_module
+    if isinstance(spec, str):
+        return spec
+    if isinstance(spec, dict):
+        out = {}
+        for name, s in spec.items():
+            if isinstance(s, (list, tuple)) and len(s) == 2 and isinstance(s[0], str):
+                out[name] = agg_module.aggregates[s[0]](s[1])
+            else:
+                out[name] = s
+        return out
+    return spec
+
+
 class Service:
     def __init__(self, dataframes: dict, trusted=False):
         self.dataframes = dict(dataframes)
@@ -77,6 +94,11 @@ class Service:
             df.state_set(state)
         if method == "__len__":
             return len(df)
+        if method == "groupby_agg":
+            by, agg_spec = args[0], args[1]
+            gb = df.groupby(by, agg=_decode_agg_spec(agg_spec), sort=kwargs.get("sort", True))
+            return {name: gb.evaluate(name, array_type="numpy")
+                    for name in gb.get_column_names()}
         result = getattr(df, method)(*args, **kwargs)
         from ..array_types import to_numpy
         if hasattr(result, "internal"):  # DataType

@@ -118,14 +118,18 @@ class TaskAggregations(Task):
         new_state = list(state)
         done = [False] * len(self.subtasks)
 
-        use_sort_additive = self.FUSED_ADDITIVE_MAX_G < G <= self.SORT_MAX_G
+        from .ops import pallas_gridagg
+        fused_additive_max = self.FUSED_ADDITIVE_MAX_G
+        if pallas_gridagg.is_available():
+            fused_additive_max = pallas_gridagg.TWO_LEVEL_MAX_G  # two-level kernel
+        use_sort_additive = fused_additive_max < G <= self.SORT_MAX_G
         use_sort_extreme = self.FUSED_EXTREME_MAX_G < G <= self.SORT_MAX_G
         order = sorted_idx = None
         if use_sort_additive or use_sort_extreme:
             order, sorted_idx = gridagg.sort_rows(flat, G)
 
         additive = [i for i, op in enumerate(self.subtasks) if hasattr(op, "additive_column")]
-        if additive and G <= self.FUSED_ADDITIVE_MAX_G:
+        if additive and G <= fused_additive_max:
             cols = jnp.stack([self.subtasks[i].additive_column(ctx) for i in additive], axis=1)
             grids = gridagg.fused_additive(flat, cols, G)
             for k, i in enumerate(additive):
