@@ -120,7 +120,8 @@ def test_real_tornado_server():
 
 
 def test_remote_groupby(remote_df):
+    # g = arange(10) % 3 -> groups {0: x=0,3,6,9}, {1: x=1,4,7}, {2: x=2,5,8}
     out = remote_df.groupby("g", agg={"s": ("sum", "x"), "c": "count"})
     npt.assert_array_equal(out["g"], [0, 1, 2])
-    npt.assert_allclose(out["s"], [0 + 1 + 2 + 3, 4 + 5 + 6 + 7, 8 + 9])
-    npt.assert_array_equal(out["c"], [4, 4, 2])
+    npt.assert_allclose(out["s"], [18.0, 12.0, 15.0])
+    npt.assert_array_equal(out["c"], [4, 3, 3])
