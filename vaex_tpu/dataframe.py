@@ -211,8 +211,22 @@ class DataFrame:
 
     def add_variable(self, name, value, unique=False):
         if unique:
-            self._var_counter += 1
-            name = f"__{name}_{self._var_counter}"
+            # content-addressed naming: the same payload (e.g. a grouper's
+            # key set) reuses its name, so repeated queries produce identical
+            # expression strings and hit the compiled-step cache
+            if hasattr(value, "fingerprint"):
+                fp = value.fingerprint() if callable(value.fingerprint) else value.fingerprint
+                name = f"__{name}_{str(fp)[:12]}"
+                if name in self.variables:
+                    return name
+            else:
+                try:
+                    name = f"__{name}_{fingerprint(value)[:12]}"
+                    if name in self.variables:
+                        return name
+                except Exception:
+                    self._var_counter += 1
+                    name = f"__{name}_{self._var_counter}"
         self.variables[name] = value
         return name
 
