@@ -245,14 +245,30 @@ def sorted_additive(sorted_idx, sorted_cols, G):
 
 
 def sorted_extreme(sorted_idx, sorted_cols, G, mode):
-    """Sorted-segment min/max via jax.ops segment reductions."""
+    """Sorted-segment min/max via a segmented associative scan.
+
+    jax.ops.segment_min/max lower to scatter (serializing on TPU); a
+    segmented running-extreme is associative, so lax.associative_scan gives
+    the log-depth vectorized form: the value at each segment's last row is
+    the segment extreme.
+    """
     import jax
-    fn = jax.ops.segment_min if mode == "min" else jax.ops.segment_max
-    # rows with idx == G go to segment G (sliced away)
-    out = fn(sorted_cols, sorted_idx, num_segments=G + 1, indices_are_sorted=True)
-    # empty segments already hold the reduction identity (dtype max for min,
-    # dtype min for max) — the same empty-bin convention as the scatter path
-    return out[:G]
+    N = sorted_idx.shape[0]
+    combine_val = jnp.minimum if mode == "min" else jnp.maximum
+    fill = min_identity(sorted_cols.dtype) if mode == "min" else max_identity(sorted_cols.dtype)
+
+    def combine(a, b):
+        a_idx, a_val = a
+        b_idx, b_val = b
+        same = (b_idx == a_idx)[:, None]
+        return b_idx, jnp.where(same, combine_val(a_val, b_val), b_val)
+
+    _, scanned = jax.lax.associative_scan(combine, (sorted_idx, sorted_cols), axis=0)
+    bins = jnp.arange(G, dtype=sorted_idx.dtype)
+    ends = jnp.searchsorted(sorted_idx, bins, side="right")
+    starts = jnp.searchsorted(sorted_idx, bins, side="left")
+    vals = scanned[jnp.clip(ends - 1, 0, N - 1)]
+    return jnp.where((ends > starts)[:, None], vals, jnp.asarray(fill, sorted_cols.dtype))
 
 
 def min_identity(dtype):
