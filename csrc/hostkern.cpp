@@ -199,6 +199,43 @@ void minmax_i64(const int64_t* data, int64_t n, int64_t* out_min, int64_t* out_m
 }
 
 // ---------------------------------------------------------------------------
+// Join probe: parallel binary search of left keys in the sorted right keys
+// (reference hash_primitives.hpp:679 map_index — the hashmap probe becomes
+// a lower_bound on the sorted index)
+
+void map_index_i64(const int64_t* sorted_keys, const int64_t* sorted_rows,
+                   int64_t n_right, const int64_t* left_keys, int64_t n_left,
+                   int64_t* out_rows) {
+    parallel_for(n_left, [&](int, int64_t lo, int64_t hi) {
+        for (int64_t i = lo; i < hi; i++) {
+            int64_t key = left_keys[i];
+            const int64_t* it = std::lower_bound(sorted_keys, sorted_keys + n_right, key);
+            out_rows[i] = (it != sorted_keys + n_right && *it == key)
+                              ? sorted_rows[it - sorted_keys]
+                              : -1;
+        }
+    });
+}
+
+void map_index_f64(const double* sorted_keys, const int64_t* sorted_rows,
+                   int64_t n_right, const double* left_keys, int64_t n_left,
+                   int64_t* out_rows) {
+    parallel_for(n_left, [&](int, int64_t lo, int64_t hi) {
+        for (int64_t i = lo; i < hi; i++) {
+            double key = left_keys[i];
+            if (std::isnan(key)) {
+                out_rows[i] = -1;
+                continue;
+            }
+            const double* it = std::lower_bound(sorted_keys, sorted_keys + n_right, key);
+            out_rows[i] = (it != sorted_keys + n_right && *it == key)
+                              ? sorted_rows[it - sorted_keys]
+                              : -1;
+        }
+    });
+}
+
+// ---------------------------------------------------------------------------
 // Parallel gather (join materialization; reference ColumnIndexed hot path)
 
 void take_f64(const double* src, const int64_t* indices, int64_t n, double* out) {

@@ -59,6 +59,8 @@ def _load():
         lib.partition_scatter.argtypes = [i32p, ctypes.c_int64, ctypes.c_int32, i64p, i64p]
         lib.minmax_f64.argtypes = [f64p, ctypes.c_int64, f64p, f64p]
         lib.minmax_i64.argtypes = [i64p, ctypes.c_int64, i64p, i64p]
+        lib.map_index_i64.argtypes = [i64p, i64p, ctypes.c_int64, i64p, ctypes.c_int64, i64p]
+        lib.map_index_f64.argtypes = [f64p, i64p, ctypes.c_int64, f64p, ctypes.c_int64, i64p]
         lib.take_f64.argtypes = [f64p, i64p, ctypes.c_int64, f64p]
         lib.take_i64.argtypes = [i64p, i64p, ctypes.c_int64, i64p]
         lib.take_masked_f64.argtypes = [f64p, i64p, ctypes.c_int64, f64p, u8p]
@@ -150,6 +152,33 @@ def minmax(data: np.ndarray):
     if data.dtype.kind == "f":
         return float(np.nanmin(data)), float(np.nanmax(data))
     return data.min(), data.max()
+
+
+def map_index(sorted_keys: np.ndarray, sorted_rows: np.ndarray,
+              left_keys: np.ndarray):
+    """First-match row per left key in the sorted right index, -1 unmatched
+    (parallel binary search; the join probe). Returns None if no native
+    kernel covers the dtype (caller falls back to numpy)."""
+    lib = _load()
+    if lib is None:
+        return None
+    sorted_rows = np.ascontiguousarray(sorted_rows, dtype=np.int64)
+    out = np.empty(len(left_keys), dtype=np.int64)
+    if sorted_keys.dtype == np.int64 and left_keys.dtype == np.int64:
+        sk = np.ascontiguousarray(sorted_keys)
+        lk = np.ascontiguousarray(left_keys)
+        lib.map_index_i64(_ptr(sk, ctypes.c_int64), _ptr(sorted_rows, ctypes.c_int64),
+                          len(sk), _ptr(lk, ctypes.c_int64), len(lk),
+                          _ptr(out, ctypes.c_int64))
+        return out
+    if sorted_keys.dtype == np.float64 and left_keys.dtype == np.float64:
+        sk = np.ascontiguousarray(sorted_keys)
+        lk = np.ascontiguousarray(left_keys)
+        lib.map_index_f64(_ptr(sk, ctypes.c_double), _ptr(sorted_rows, ctypes.c_int64),
+                          len(sk), _ptr(lk, ctypes.c_double), len(lk),
+                          _ptr(out, ctypes.c_int64))
+        return out
+    return None
 
 
 def take(src: np.ndarray, indices: np.ndarray) -> np.ndarray:

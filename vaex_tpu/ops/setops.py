@@ -371,6 +371,13 @@ class SortedIndex:
         n = len(self.sorted_keys)
         if n == 0:
             return np.full(len(data), -1, np.int64)
+        if not self.is_string and data.dtype == self.sorted_keys.dtype:
+            from .. import hostkern
+            native = hostkern.map_index(self.sorted_keys, self.sorted_rows, data)
+            if native is not None:
+                if mask is not None:
+                    native = np.where(mask, -1, native)
+                return native
         if self.is_string:
             skeys = self.sorted_keys.astype(str)
             idx = np.searchsorted(skeys, data.astype(str), side="left")
