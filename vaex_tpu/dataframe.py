@@ -1079,15 +1079,23 @@ class DataFrame:
         from .tasks import SetCapOverflow, TaskSetCreateDevice
         if expression_is_device(self, expression):
             tile_cap = self._tile_rows or settings.TILE_ROWS
-            for cap in (65536, 1 << 20, tile_cap):
+            hints = getattr(self.executor, "_set_cap_hints", None)
+            if hints is None:
+                hints = self.executor._set_cap_hints = {}
+            hint_key = expression
+            ladder = [c for c in (65536, 1 << 20, tile_cap)
+                      if c >= hints.get(hint_key, 0)] or [tile_cap]
+            for cap in ladder:
                 task = TaskSetCreateDevice(self, expression, keep_counts=keep_counts,
                                            limit=limit if limit_raise else None,
                                            pre_filter=self.filtered, cap=cap)
                 self.executor.schedule(task)
                 try:
                     self.executor.execute()
+                    hints[hint_key] = cap
                     return task.get()
                 except SetCapOverflow:
+                    hints[hint_key] = cap * 2  # skip this rung next time
                     continue
         task = TaskSetCreate(self, expression, keep_counts=keep_counts,
                              limit=limit if limit_raise else None,
