@@ -45,6 +45,9 @@ class Promise:
     def get(self):
         if self.exception is not None:
             raise self.exception
+        if not self.done:
+            raise RuntimeError("promise not resolved: the pass that computes it "
+                               "did not run (or failed without rejecting it)")
         return self.result
 
     @staticmethod

@@ -140,7 +140,13 @@ class ExecutorLocal(Executor):
             df, tasks = self._pop_tasks()
             if not tasks:
                 break
-            self._execute_pass(df, tasks)
+            try:
+                self._execute_pass(df, tasks)
+            except Exception as e:
+                for task in tasks:
+                    if not task.done:
+                        task.reject(e)
+                raise
 
     # -- the pass -----------------------------------------------------------
     def _execute_pass(self, df, tasks):
