@@ -93,3 +93,22 @@ def test_geo_inside_polygon():
 def test_first_last_style(df_local):
     # first by order expression on device
     assert df_local.first("x", "y") == 0.0
+
+
+def test_percentile_binby():
+    rng = np.random.default_rng(0)
+    g = np.repeat([0, 1], 5000)
+    x = np.where(g == 0, rng.normal(10, 1, 10000), rng.normal(20, 1, 10000))
+    df = vt.from_arrays(g=g.astype("i8"), x=x)
+    medians = df.percentile_approx("x", 50.0, binby=["g"], limits=[[0, 2]], shape=2)
+    assert abs(medians[0] - 10) < 0.3
+    assert abs(medians[1] - 20) < 0.3
+
+
+def test_mode_binby():
+    g = np.repeat([0, 1], 100)
+    x = np.where(g == 0, 3.0, 7.0) + np.linspace(-0.01, 0.01, 200)
+    df = vt.from_arrays(g=g.astype("i8"), x=x)
+    modes = df.mode("x", binby=["g"], limits=[[0, 2]], shape=2)
+    assert abs(modes[0] - 3.0) < 0.3
+    assert abs(modes[1] - 7.0) < 0.3

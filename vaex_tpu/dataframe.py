@@ -859,8 +859,6 @@ class DataFrame:
         (reference dataframe.py:1419-1524 via vaexfast grid_find_edges)."""
         expressions = expression if isinstance(expression, (list, tuple)) else [expression]
         multi = isinstance(expression, (list, tuple))
-        if binby:
-            raise NotImplementedError("percentile_approx with binby lands in a later round")
         out = []
         for expr in expressions:
             expr = str(expr)
@@ -869,12 +867,38 @@ class DataFrame:
             if vmin == vmax:
                 out.append(vmin)
                 continue
+            percentages = percentage if isinstance(percentage, (list, tuple)) else [percentage]
+            if binby:
+                # percentile per binby cell: the expression gets a trailing
+                # cumulative axis (reference dataframe.py:1419-1524 via
+                # vaexfast.grid_find_edges + interpolation)
+                binby_list = binby if isinstance(binby, (list, tuple)) else [binby]
+                counts = self.count(binby=list(binby_list) + [expr],
+                                    limits=self.limits(list(binby_list), limits) + [lim],
+                                    shape=([shape] * len(binby_list)) + [percentile_shape],
+                                    selection=selection)
+                counts = np.asarray(counts, dtype=np.float64)
+                cumulative = np.cumsum(counts, axis=-1)
+                totals = cumulative[..., -1:]
+                edges_x = np.linspace(vmin, vmax, percentile_shape + 1)
+                cells = cumulative.reshape(-1, percentile_shape)
+                cell_totals = totals.reshape(-1)
+                values = np.full((len(percentages),) + cells.shape[:1], np.nan)
+                for ci in range(cells.shape[0]):
+                    if cell_totals[ci] == 0:
+                        continue
+                    cum = np.concatenate([[0], cells[ci]])
+                    for pi, p in enumerate(percentages):
+                        values[pi, ci] = np.interp(p / 100.0 * cell_totals[ci], cum, edges_x)
+                grid_shape = counts.shape[:-1]
+                values = values.reshape((len(percentages),) + grid_shape)
+                out.append(values if isinstance(percentage, (list, tuple)) else values[0])
+                continue
             counts = self.count(binby=[expr], limits=[lim], shape=percentile_shape,
                                 selection=selection)
             cumulative = np.cumsum(counts).astype(np.float64)
             total = cumulative[-1]
             edges_x = np.linspace(vmin, vmax, percentile_shape + 1)
-            percentages = percentage if isinstance(percentage, (list, tuple)) else [percentage]
             values = [float(np.interp(p / 100.0 * total, np.concatenate([[0], cumulative]), edges_x))
                       for p in percentages]
             out.append(values if isinstance(percentage, (list, tuple)) else values[0])
@@ -949,13 +973,19 @@ class DataFrame:
              mode_limits=None, progressbar=False, selection=None):
         """Most frequent value via a binned count grid (reference dataframe.py:1777)."""
         expression = str(expression)
-        if binby:
-            raise NotImplementedError("mode with binby lands in a later round")
         lim = self.limits(expression, mode_limits, selection=selection)
-        counts = self.count(binby=[expression], limits=[lim], shape=mode_shape,
-                            selection=selection or False)
         centers = np.linspace(lim[0], lim[1], mode_shape + 1)[:-1] + \
             (lim[1] - lim[0]) / mode_shape / 2
+        if binby:
+            binby_list = binby if isinstance(binby, (list, tuple)) else [binby]
+            counts = self.count(binby=list(binby_list) + [expression],
+                                limits=self.limits(list(binby_list), limits) + [lim],
+                                shape=([shape] * len(binby_list)) + [mode_shape],
+                                selection=selection or False)
+            counts = np.asarray(counts)
+            return centers[np.argmax(counts, axis=-1)]
+        counts = self.count(binby=[expression], limits=[lim], shape=mode_shape,
+                            selection=selection or False)
         return centers[np.argmax(counts)]
 
     def propagate_uncertainties(self, columns, depending_variables=None, cov_matrix="auto",
