@@ -565,6 +565,17 @@ class DataFrame:
         if sel_expr is not None:
             df = df.filter(sel_expr) if not df.filtered else df.filter(sel_expr, mode="and")
         use_filter = df.filtered and filtered
+        if (expression in df.dataset and expression not in df.virtual_columns
+                and not use_filter):
+            # bare physical column: zero-cost view, no pass (reference
+            # evaluate's column fast path)
+            ds = df.dataset_for_execution()
+            col = ds[expression]
+            values = col[0:ds.row_count]
+            import jax.numpy as jnp
+            if isinstance(values, jnp.ndarray) and array_type != "jax":
+                values = np.asarray(values)
+            return _convert_array_type(values, array_type)
         if parallel and expression_is_device(df, expression) and df.length_unfiltered() > 0:
             task = TaskEvaluate(df, expression, pre_filter=use_filter)
             df.executor.schedule(task)
@@ -600,18 +611,7 @@ class DataFrame:
                         pa is not None and isinstance(values, (pa.Array, pa.ChunkedArray))) else values[keep]
                 parts.append(values)
             values = array_types.concat(parts) if parts else np.empty(0)
-        if array_type == "numpy":
-            values = array_types.to_numpy(values)
-        elif array_type == "arrow":
-            values = array_types.to_arrow(values)
-        elif array_type == "jax":
-            import jax.numpy as jnp
-            values = values if isinstance(values, jnp.ndarray) else jnp.asarray(
-                array_types.to_numpy(values))
-        elif array_type == "list" or array_type == "python":
-            values = array_types.to_numpy(values)
-            values = values.tolist(None) if isinstance(values, np.ma.MaskedArray) else values.tolist()
-        return values
+        return _convert_array_type(values, array_type)
 
     def evaluate_iterator(self, expression, s1=None, s2=None, chunk_size=None,
                           parallel=True, array_type=None, prefetch=True, progress=None):
@@ -1742,6 +1742,21 @@ def _to_array_type(values, array_type):
         return values
     if array_type == "arrow":
         return array_types.to_arrow(values)
+    return values
+
+
+def _convert_array_type(values, array_type):
+    if array_type == "numpy":
+        return array_types.to_numpy(values)
+    if array_type == "arrow":
+        return array_types.to_arrow(values)
+    if array_type == "jax":
+        import jax.numpy as jnp
+        return values if isinstance(values, jnp.ndarray) else jnp.asarray(
+            array_types.to_numpy(values))
+    if array_type in ("list", "python"):
+        values = array_types.to_numpy(values)
+        return values.tolist(None) if isinstance(values, np.ma.MaskedArray) else values.tolist()
     return values
 
 
