@@ -55,12 +55,14 @@ def main():
         j = timed("join_plan", lambda: fact.join(dim, on="key", allow_duplication=False))
         timed("join_materialize_sum", lambda: fact.join(dim, on="key").sum("label"))
 
+        fact_dev = fact.to_device()  # HBM-resident for the selection passes
+        fact_dev._tile_rows = 1 << 22
         values = rng.choice(m, 1000, replace=False).astype(np.int64)
         timed("isin_1000", lambda: np.asarray(
-            fact.count(selection=str(fact["key"].isin(values)))))
+            fact_dev.count(selection=str(fact_dev["key"].isin(values)))))
         few = values[:10]
         timed("isin_10", lambda: np.asarray(
-            fact.count(selection=str(fact["key"].isin(few)))))
+            fact_dev.count(selection=str(fact_dev["key"].isin(few)))))
     print(json.dumps(results))
 
 
