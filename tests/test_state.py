@@ -138,3 +138,25 @@ def test_shape_dtypes():
     assert df.shape == (10, 2)
     assert df.dtypes["x"] == "float64"
     assert df.byte_size() == 10 * 16
+
+
+def _double(x):
+    return x * 2
+
+
+def test_state_with_function():
+    df = _fresh()
+    name = df.add_function("double", _double)
+    df["d"] = df[f"{name}(x)"]
+    state = df.state_get()
+    df2 = _fresh()
+    df2.state_set(state)
+    npt.assert_allclose(df2["d"].tolist(), X * 2)
+    # untrusted: pickled function NOT loaded
+    df3 = _fresh()
+    df3.state_set(state, trusted=False)
+    with pytest.raises(Exception):
+        df3["d"].tolist()
+
+
+import pytest  # noqa: E402

@@ -63,6 +63,7 @@ class DataFrame:
         self.virtual_columns: Dict[str, str] = {}
         self.variables: Dict[str, object] = {}
         self.functions: Dict[str, object] = {}
+        self._function_impls: Dict[str, object] = {}
         self.selections: Dict[str, Selection] = {}
         self.selection_histories: Dict[str, list] = {}
         self.selection_history_indices: Dict[str, int] = {}
@@ -86,6 +87,7 @@ class DataFrame:
         df.variables = dict(self.variables)
         df.functions = dict(self.functions)
         df.selections = dict(self.selections)
+        df._function_impls = dict(getattr(self, "_function_impls", {}))
         df.selection_histories = {k: list(v) for k, v in self.selection_histories.items()}
         df.selection_history_indices = dict(self.selection_history_indices)
         df._categories = dict(self._categories)
@@ -231,7 +233,6 @@ class DataFrame:
         return name
 
     def add_function(self, name, f, vectorize=True, unique=False, multiprocessing=False):
-        from .registry import expression_namespace_host
         if unique:
             self._var_counter += 1
             name = f"__fn_{name}_{self._var_counter}"
@@ -247,7 +248,10 @@ class DataFrame:
             if _vectorize:
                 return np.asarray(_f(*datas))
             return np.asarray([_f(*row) for row in zip(*datas)])
-        expression_namespace_host[name] = host_impl
+        # df-LOCAL registration: UDFs must not leak across DataFrames
+        if not hasattr(self, "_function_impls"):
+            self._function_impls = {}
+        self._function_impls[name] = host_impl
         return name
 
     def data_type(self, expression, array_type=None, internal=False, axis=0, expand=True):
@@ -1602,7 +1606,7 @@ class DataFrame:
     def state_set(self, state, use_active_range=False, keep_columns=None, set_filter=True,
                   trusted=True, warn=True):
         from .encoding import state_set
-        state_set(self, state, set_filter=set_filter)
+        state_set(self, state, set_filter=set_filter, trusted=trusted)
         return self
 
     def state_write(self, file, fs_options=None, fs=None):

@@ -77,11 +77,20 @@ def _decode_variable(spec):
 
 
 def state_get(df, skip=None):
+    import base64
+    import pickle
+    functions = {}
+    for name, f in df.functions.items():
+        try:
+            functions[name] = base64.b64encode(pickle.dumps(f)).decode()
+        except Exception:
+            pass  # unpicklable UDFs are dropped from the state (as-documented)
     return {
         "version": 1,
         "column_names": list(df.column_names),
         "virtual_columns": dict(df.virtual_columns),
         "variables": {k: _encode_variable(v) for k, v in df.variables.items()},
+        "functions": functions,
         "selections": {name: sel.encode() for name, sel in df.selections.items()},
         "categories": {k: {"labels": list(np.asarray(v["labels"]).tolist()),
                            "N": v["N"], "min_value": v["min_value"]}
@@ -90,9 +99,20 @@ def state_get(df, skip=None):
     }
 
 
-def state_set(df, state, set_filter=True):
+def state_set(df, state, set_filter=True, trusted=True):
     df.virtual_columns = dict(state.get("virtual_columns", {}))
     df.variables = {k: _decode_variable(v) for k, v in state.get("variables", {}).items()}
+    if trusted:
+        # pickled functions execute arbitrary code: gated exactly like the
+        # reference's token-trusted wire flag (websocket.py:18-120)
+        import base64
+        import pickle
+        for name, blob in state.get("functions", {}).items():
+            try:
+                f = pickle.loads(base64.b64decode(blob))
+            except Exception:
+                continue
+            df.add_function(name, f, vectorize=True)
     for name in state.get("column_names", []):
         if name not in df.column_names:
             df.column_names.append(name)

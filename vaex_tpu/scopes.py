@@ -119,7 +119,10 @@ class HostScope:
         if expression in self.values:
             return self.values[expression]
         code = compile(expression, "<expr>", "eval")
-        result = eval(code, host_eval_namespace(), self)
+        namespace = host_eval_namespace()
+        for name, impl in getattr(self.df, "_function_impls", {}).items():
+            namespace[name] = _unwrapping(impl)  # df-local UDFs
+        result = eval(code, namespace, self)
         self.values[expression] = result
         return result
 
@@ -169,12 +172,12 @@ def classify_leaves(df, expression):
                     variables.add(name)
                 elif name in df.get_column_names(hidden=True):
                     columns.add(name)
-                elif has_function(name):
+                elif has_function(name) or name in df.functions:
                     funcs.add(name)
                 else:
                     columns.add(name)  # let evaluation raise a good error
     walk(str(expression))
-    funcs2 = {f for f in funcs if has_function(f)}
+    funcs2 = {f for f in funcs if has_function(f) or f in df.functions}
     columns -= funcs2
     return funcs2, columns, variables
 

@@ -91,7 +91,9 @@ class Service:
             raise PermissionError(f"method {method!r} not allowed")
         df = self.dataframes[df_name].copy()
         if state:
-            df.state_set(state)
+            # pickled functions in client state only execute in trusted mode
+            # (reference: token-trusted gate, websocket.py)
+            df.state_set(state, trusted=self.trusted)
         if method == "__len__":
             return len(df)
         if method == "groupby_agg":
