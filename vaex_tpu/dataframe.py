@@ -68,6 +68,11 @@ class DataFrame:
         self.selection_histories: Dict[str, list] = {}
         self.selection_history_indices: Dict[str, int] = {}
         self._categories: Dict[str, dict] = {}
+        # per-column metadata (reference: ucds/units/descriptions)
+        self.units: Dict[str, str] = {}
+        self.ucds: Dict[str, str] = {}
+        self.descriptions: Dict[str, str] = {}
+        self.description = None
         self._tile_rows = None  # test hook: force tiny tiles (small_buffer)
         self._selection_mask_cache: Dict[str, np.ndarray] = {}
         self._length_unfiltered = dataset.row_count
@@ -88,6 +93,10 @@ class DataFrame:
         df.functions = dict(self.functions)
         df.selections = dict(self.selections)
         df._function_impls = dict(getattr(self, "_function_impls", {}))
+        df.units = dict(self.units)
+        df.ucds = dict(self.ucds)
+        df.descriptions = dict(self.descriptions)
+        df.description = self.description
         df.selection_histories = {k: list(v) for k, v in self.selection_histories.items()}
         df.selection_history_indices = dict(self.selection_history_indices)
         df._categories = dict(self._categories)
@@ -253,6 +262,12 @@ class DataFrame:
             self._function_impls = {}
         self._function_impls[name] = host_impl
         return name
+
+    def evaluate_variable(self, name):
+        return self.variables[name]
+
+    def unit(self, expression):
+        return self.units.get(str(expression))
 
     def data_type(self, expression, array_type=None, internal=False, axis=0, expand=True):
         """dtype of an expression, inferred by evaluating a tiny slice."""
