@@ -213,6 +213,20 @@ def _simplify(expr: str) -> str:
             def is_num(n, v):
                 return isinstance(n, ast.Constant) and n.value == v
 
+            # constant folding: (3 - 1) -> 2
+            if (isinstance(node.left, ast.Constant) and isinstance(node.right, ast.Constant)
+                    and isinstance(node.left.value, (int, float))
+                    and isinstance(node.right.value, (int, float))):
+                import operator
+                ops = {ast.Add: operator.add, ast.Sub: operator.sub,
+                       ast.Mult: operator.mul, ast.Pow: operator.pow}
+                op = ops.get(type(node.op))
+                if op is not None:
+                    try:
+                        return ast.Constant(op(node.left.value, node.right.value))
+                    except Exception:
+                        pass
+
             if isinstance(node.op, ast.Mult):
                 if is_num(node.left, 0) or is_num(node.right, 0):
                     return ast.Constant(0)
