@@ -303,14 +303,23 @@ class DeviceSetHandle:
         return self.n_keys + int(self.has_nan) + int(self.has_null)
 
 
+def _device_probe(keys, data, n_keys):
+    """sorted keys x data -> int32 ordinals (-1 unmatched); the VMEM compare
+    kernel for small sets, binary search beyond."""
+    from . import pallas_probe
+    if pallas_probe.is_available(n_keys):
+        return pallas_probe.probe_ordinals(keys, data)
+    idx = jnp.searchsorted(keys, data).astype(jnp.int32)
+    idx = jnp.clip(idx, 0, n_keys - 1)
+    found = keys[idx] == data
+    return jnp.where(found, idx, jnp.int32(-1))
+
+
 def device_map_ordinal(handle: DeviceSetHandle, x):
-    """NA values -> int32 ordinals on device (binary search)."""
+    """NA values -> int32 ordinals on device."""
     data = x.data
     if handle.n_keys:
-        idx = jnp.searchsorted(handle.keys, data).astype(jnp.int32)
-        idx = jnp.clip(idx, 0, handle.n_keys - 1)
-        found = handle.keys[idx] == data
-        codes = jnp.where(found, idx, jnp.int32(-1))
+        codes = _device_probe(handle.keys, data, handle.n_keys)
     else:
         codes = jnp.full(data.shape, -1, jnp.int32)
     if jnp.issubdtype(data.dtype, jnp.floating) and handle.has_nan:
@@ -323,8 +332,7 @@ def device_map_ordinal(handle: DeviceSetHandle, x):
 def device_isin(handle: DeviceSetHandle, x):
     data = x.data
     if handle.n_keys:
-        idx = jnp.clip(jnp.searchsorted(handle.keys, data), 0, handle.n_keys - 1)
-        out = handle.keys[idx] == data
+        out = _device_probe(handle.keys, data, handle.n_keys) >= 0
     else:
         out = jnp.zeros(data.shape, bool)
     if jnp.issubdtype(data.dtype, jnp.floating):
