@@ -81,3 +81,32 @@ def test_unique_limit(df_local):
     df = df_local
     with pytest.raises(vt.RowLimitException):
         df.unique("x", limit=3)
+
+
+def test_set_device_global():
+    # near-unique keys force the global-sort set build
+    n = 5000
+    keys = np.arange(n, dtype="i8")
+    rng = np.random.default_rng(0)
+    rng.shuffle(keys)
+    df = vt.from_arrays(k=keys, x=np.arange(n, dtype="f8"))
+    oset = df._set_device_global("k")
+    assert oset is not None
+    assert oset.n_keys == n
+    assert oset.keys.tolist() == list(range(n))
+    oset2 = df._set_device_global("k", keep_counts=True)
+    assert oset2.counts.sum() == n
+
+
+def test_set_device_global_with_nan():
+    x = np.array([1.0, 2.0, np.nan, 2.0, np.nan])
+    df = vt.from_arrays(x=x)
+    oset = df._set_device_global("x")
+    assert oset.keys.tolist() == [1.0, 2.0]
+    assert oset.nan_count == 2
+
+
+def test_set_device_global_limit():
+    df = vt.from_arrays(k=np.arange(100, dtype="i8"))
+    with pytest.raises(vt.RowLimitException):
+        df._set_device_global("k", limit=10)

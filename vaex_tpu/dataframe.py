@@ -1146,12 +1146,64 @@ class DataFrame:
                 except SetCapOverflow:
                     hints[hint_key] = cap * 2  # skip this rung next time
                     continue
+            # cardinality comparable to the row count: global device sort
+            oset = self._set_device_global(expression, keep_counts=keep_counts,
+                                           limit=limit if limit_raise else None)
+            if oset is not None:
+                return oset
         task = TaskSetCreate(self, expression, keep_counts=keep_counts,
                              limit=limit if limit_raise else None,
                              pre_filter=self.filtered)
         self.executor.schedule(task)
         self.executor.execute()
         return task.get()
+
+    def _set_device_global(self, expression, keep_counts=False, limit=None):
+        """Set build for near-unique keys: one global device sort, boundary
+        flags, compaction — no per-tile caps (the reference's analogue would
+        be a hashmap approaching the row count, hash_primitives.hpp)."""
+        import jax.numpy as jnp
+        from .ops.setops import RowLimitException, SortedSet
+        try:
+            raw = self.evaluate(expression)
+        except Exception:
+            return None  # fall back to the host path
+        if isinstance(raw, np.ma.MaskedArray):
+            return None  # nullable keys keep the host path (null slot logic)
+        import jax
+        data = raw if isinstance(raw, jnp.ndarray) else jnp.asarray(np.asarray(raw))
+        fdata = data
+        nan_count = 0
+        if jnp.issubdtype(fdata.dtype, jnp.floating):
+            if int(jnp.sum(jnp.isinf(fdata))):
+                return None  # inf keys would collide with the NaN substitute
+            nan_count = int(jnp.sum(jnp.isnan(fdata)))
+            fdata = jnp.where(jnp.isnan(fdata), jnp.inf, fdata)
+
+        @jax.jit
+        def count_unique(v):
+            s = jnp.sort(v)
+            flags = jnp.concatenate([jnp.ones(1, bool), s[1:] != s[:-1]])
+            return s, jnp.sum(flags)
+
+        s, n_total = count_unique(fdata)
+        n_total = int(n_total)  # unique values incl. the NaN->inf slot
+        n_uniq = n_total - (1 if nan_count else 0)
+        if limit is not None and n_total > limit:
+            raise RowLimitException(
+                f"set grew to {n_total} unique values, which exceeds the limit of {limit}")
+
+        uniq, counts = jax.jit(
+            lambda s: jnp.unique(s, size=n_total, fill_value=s[-1],
+                                 return_counts=True))(s)
+        uniq_np = np.asarray(uniq)[:n_uniq]
+        counts_np = np.asarray(counts)[:n_uniq].astype(np.int64)
+        oset = SortedSet(uniq_np.dtype, keep_counts=keep_counts, limit=limit)
+        oset.keys = uniq_np
+        if keep_counts:
+            oset.counts = counts_np
+        oset.nan_count = nan_count
+        return oset
 
     def unique(self, expression, return_inverse=False, dropna=False, dropnan=False,
                dropmissing=False, progress=None, selection=None, axis=None,
