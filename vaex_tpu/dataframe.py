@@ -988,6 +988,21 @@ class DataFrame:
                 C[..., j, i] = v
         return C
 
+    def healpix_count(self, expression=None, healpix_expression="source_id/34359738368",
+                      healpix_max_level=12, healpix_level=8, binby=None, limits=None,
+                      shape=128, **kwargs):
+        """Healpix-binned counts (reference dataframe.py:1831): a count over
+        the healpix ordinal derived from a nested index expression."""
+        reduce_level = healpix_max_level - healpix_level
+        nmax = 12 * 4 ** healpix_level
+        scaling = 4 ** reduce_level
+        epsilon = 1.0 / scaling / 2.0
+        expr = f"((astype({healpix_expression}, 'int64')) / {scaling} + {epsilon})"
+        return self.count(expression, binby=[expr] + list(binby or []),
+                          limits=[[-0.5, nmax - 0.5]] + list(limits or []),
+                          shape=[nmax] + list(shape if isinstance(shape, (list, tuple)) else []),
+                          **kwargs)
+
     def mode(self, expression, binby=[], limits=None, shape=256, mode_shape=64,
              mode_limits=None, progressbar=False, selection=None):
         """Most frequent value via a binned count grid (reference dataframe.py:1777)."""

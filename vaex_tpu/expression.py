@@ -363,6 +363,15 @@ class Expression(metaclass=Meta):
     def ismissing(self):
         return Expression(self.df, f"ismissing({self.expression})")
 
+    def jit(self, verbose=False):
+        """API-parity alias for the reference's jit_numba/jit_cuda/jit_pythran
+        (expression.py:1121-1131): every expression here is already compiled
+        into the pass's XLA program, so jit() is the identity."""
+        return Expression(self.df, self.expression)
+
+    jit_numba = jit
+    jit_jax = jit
+
     def apply(self, f, vectorize=False, multiprocessing=False):
         """Python UDF (reference expression.py:1218): registered as a
         DataFrame function, evaluated host-side per chunk."""
