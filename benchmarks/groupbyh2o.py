@@ -48,6 +48,7 @@ def main():
     parser.add_argument("--n", type=float, default=1e7)
     parser.add_argument("--check", action="store_true")
     parser.add_argument("--device", action="store_true", help="stage data in HBM")
+    parser.add_argument("--q", default=None, help="comma-separated question subset, e.g. q7,q10")
     args = parser.parse_args()
 
     import vaex_tpu as vt
@@ -60,8 +61,11 @@ def main():
     df._tile_rows = 1 << 22
 
     results = {}
+    subset = set(args.q.split(",")) if args.q else None
     with cache.off():
         for name, fn in questions(vt).items():
+            if subset is not None and name not in subset:
+                continue
             fn(df)  # warm/compile
             t0 = time.perf_counter()
             out = fn(df)

@@ -228,6 +228,21 @@ def sort_rows(idx, G):
     return order, idx[order]
 
 
+def sort_carry(idx, cols):
+    """Sort rows by bin index, carrying cols [N, A] through the sort network.
+
+    ``lax.sort`` with extra operands moves the values inside the sorting
+    network itself — on TPU this measures ~4x faster than argsort + gathers
+    (the gathers are random-access HBM reads; the sort's data movement is
+    sequential).  Returns (sorted_idx, sorted_cols [N, A]).
+    """
+    import jax
+    A = cols.shape[1]
+    operands = (idx,) + tuple(cols[:, a] for a in range(A))
+    out = jax.lax.sort(operands, num_keys=1, is_stable=False)
+    return out[0], jnp.stack(out[1:], axis=1)
+
+
 def sorted_additive(sorted_idx, sorted_cols, G):
     """sorted_cols [N, A] float64 (rows ordered by bin) -> [G, A] float64.
 
@@ -247,10 +262,9 @@ def sorted_additive(sorted_idx, sorted_cols, G):
 def sorted_extreme(sorted_idx, sorted_cols, G, mode):
     """Sorted-segment min/max via a segmented associative scan.
 
-    jax.ops.segment_min/max lower to scatter (serializing on TPU); a
-    segmented running-extreme is associative, so lax.associative_scan gives
-    the log-depth vectorized form: the value at each segment's last row is
-    the segment extreme.
+    Kept as the multi-column form (shared sort); prefer
+    :func:`extreme_lex` when each column can afford its own sort — the
+    lex sort is one fused pass with no scan.
     """
     import jax
     N = sorted_idx.shape[0]
@@ -269,6 +283,29 @@ def sorted_extreme(sorted_idx, sorted_cols, G, mode):
     starts = jnp.searchsorted(sorted_idx, bins, side="left")
     vals = scanned[jnp.clip(ends - 1, 0, N - 1)]
     return jnp.where((ends > starts)[:, None], vals, jnp.asarray(fill, sorted_cols.dtype))
+
+
+def extreme_lex(idx, col, G, mode):
+    """Per-bin min/max of ONE column via a single lexicographic sort.
+
+    ``lax.sort((idx, col), num_keys=2)`` orders rows by (bin, value); the
+    segment minimum then sits at each segment's first row and the maximum at
+    its last — recovering them is a G-sized boundary gather, with no
+    associative scan and no row-sized gathers.  Invalid rows must already
+    carry the identity fill (callers use ``extreme_column``): +inf sorts to
+    the segment end and never shadows a real minimum, -inf to the start.
+    Rows with idx >= G sort past every real bin and fall off.
+    """
+    import jax
+    N = idx.shape[0]
+    fill = min_identity(col.dtype) if mode == "min" else max_identity(col.dtype)
+    sorted_idx, sorted_col = jax.lax.sort((idx, col), num_keys=2, is_stable=False)
+    bins = jnp.arange(G, dtype=idx.dtype)
+    starts = jnp.searchsorted(sorted_idx, bins, side="left")
+    ends = jnp.searchsorted(sorted_idx, bins, side="right")
+    pos = starts if mode == "min" else ends - 1
+    vals = sorted_col[jnp.clip(pos, 0, N - 1)]
+    return jnp.where(ends > starts, vals, jnp.asarray(fill, col.dtype))
 
 
 def min_identity(dtype):

@@ -53,11 +53,13 @@ def shuffle_additive_grids(mesh, codes, cols, G, slack=4):
         owner = jnp.where(valid, owner, D)  # D = trash bucket (not sent)
 
         # pack rows into [D, cap] send buffers: position within bucket via
-        # a stable sort by owner + rank-within-owner
-        order = jnp.argsort(owner, stable=True)
-        sorted_owner = owner[order]
-        sorted_codes = codes_l[order]
-        sorted_cols = cols_l[order]
+        # a stable sort by owner + rank-within-owner (codes/cols carried
+        # through the sort network — no row-sized gathers)
+        sort_ops = (owner, codes_l.astype(jnp.int32)) + tuple(cols_l[:, a] for a in range(A))
+        sorted_out = jax.lax.sort(sort_ops, num_keys=1, is_stable=True)
+        sorted_owner = sorted_out[0]
+        sorted_codes = sorted_out[1]
+        sorted_cols = jnp.stack(sorted_out[2:], axis=1)
         # rank within each owner bucket
         idx = jax.lax.broadcasted_iota(jnp.int32, (nl, 1), 0).squeeze(-1)
         start_of_owner = jnp.searchsorted(sorted_owner, jnp.arange(D + 1, dtype=sorted_owner.dtype))
@@ -83,10 +85,8 @@ def shuffle_additive_grids(mesh, codes, cols, G, slack=4):
         # rows outside my range (padding G-markers) fall out
         local_codes = jnp.where((local_codes >= 0) & (local_codes < gper),
                                 local_codes, gper).astype(jnp.int32)
-        order2 = jnp.argsort(local_codes)
-        sidx = local_codes[order2]
-        scols = local_cols[order2]
         from ..ops import gridagg
+        sidx, scols = gridagg.sort_carry(local_codes, local_cols)
         grid = gridagg.sorted_additive(sidx, scols, gper)  # [gper, A]
         return grid, jax.lax.psum(overflow, axis)
 
