@@ -100,3 +100,127 @@ def test_graphql_where_ops(df_local):
 def test_graphql_rows(df_local):
     out = df_local.graphql.query({"row": {"offset": 2, "limit": 2, "columns": ["x", "g"]}})
     assert out["rows"] == [{"x": 2.0, "g": 0}, {"x": 3.0, "g": 0}]
+
+
+# --- GraphQL string queries (reference tests/graphql_test.py) ---------------
+
+
+def test_graphql_execute_aggregates(df_local):
+    df = df_local
+    result = df.graphql.execute("""
+    {
+        df {
+            count
+            min { x y }
+            mean { x y }
+            max { x y }
+        }
+    }
+    """)
+    assert not result.errors
+    assert result.data["df"]["count"] == len(df)
+    assert result.data["df"]["min"]["x"] == df.min("x")
+    assert result.data["df"]["min"]["y"] == df.min("y")
+    assert result.data["df"]["max"]["x"] == df.max("x")
+    assert result.data["df"]["mean"]["x"] == df.mean("x")
+
+
+def test_graphql_execute_groupby(df_local):
+    df = df_local
+    result = df.graphql.execute("""
+    {
+        df {
+            groupby {
+                g {
+                    count
+                    keys
+                    min { x }
+                }
+            }
+        }
+    }
+    """)
+    assert not result.errors
+    dfg = df.groupby("g", agg={"xmin": vt.agg.min("x")}, sort=True)
+    assert result.data["df"]["groupby"]["g"]["min"]["x"] == dfg["xmin"].tolist()
+    assert result.data["df"]["groupby"]["g"]["keys"] == dfg["g"].tolist()
+    dfc = df.groupby("g", agg="count", sort=True)
+    assert result.data["df"]["groupby"]["g"]["count"] == dfc["count"].tolist()
+
+
+def test_graphql_execute_nested_groupby(df_local):
+    result = df_local.graphql.execute("""
+    {
+        df { groupby { g { name { count } } } }
+    }
+    """)
+    assert not result.errors
+    dfg = df_local.groupby(["g", "name"], agg="count", sort=True)
+    assert result.data["df"]["groupby"]["g"]["name"]["count"] == dfg["count"].tolist()
+
+
+def test_graphql_execute_row_pagination(df_local):
+    df = df_local
+
+    def values(rows, name):
+        return [r[name] for r in rows]
+
+    result = df.graphql.execute("{ df { row { x } } }")
+    assert not result.errors
+    assert values(result.data["df"]["row"], "x") == df.x.tolist()
+
+    result = df.graphql.execute("{ df { row(offset: 2) { x } } }")
+    assert values(result.data["df"]["row"], "x") == df[2:].x.tolist()
+
+    result = df.graphql.execute("{ df { row(limit: 2) { x } } }")
+    assert values(result.data["df"]["row"], "x") == df[:2].x.tolist()
+
+    result = df.graphql.execute("{ df { row(offset: 3, limit: 2) { x } } }")
+    assert values(result.data["df"]["row"], "x") == df[3:5].x.tolist()
+
+
+def test_graphql_execute_where(df_local):
+    df = df_local
+    result = df.graphql.execute("""
+    {
+        df(where: {x: {_eq: 4}}) { row { x } }
+    }
+    """)
+    assert not result.errors
+    assert [r["x"] for r in result.data["df"]["row"]] == [4.0]
+
+    result = df.graphql.execute("""
+    {
+        df(where: {_or: [{x: {_eq: 4}}, {x: {_eq: 5}}]}) { count }
+    }
+    """)
+    assert result.data["df"]["count"] == 2
+
+    result = df.graphql.execute("""
+    {
+        df(where: {_not: {x: {_lt: 8}}}) { count }
+    }
+    """)
+    assert result.data["df"]["count"] == 2
+
+    result = df.graphql.execute("""
+    {
+        df(where: {name: {_eq: "n0"}}) { count }
+    }
+    """)
+    assert result.data["df"]["count"] == 4
+
+
+def test_graphql_execute_alias_and_query_keyword(df_local):
+    result = df_local.graphql.execute("query Foo { frame: df { n: count } }")
+    assert not result.errors
+    assert result.data["frame"]["n"] == 10
+
+
+def test_graphql_execute_errors(df_local):
+    result = df_local.graphql.execute("{ df { count }")  # unbalanced braces
+    assert result.errors
+    result = df_local.graphql.execute("{ df { nosuchfield } }")
+    assert result.errors
+    result = df_local.graphql.execute("{ nosuchframe { count } }")
+    assert result.errors

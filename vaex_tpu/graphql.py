@@ -1,22 +1,30 @@
-"""GraphQL-style query accessor (reference: packages/vaex-graphql, 400 LoC).
+"""GraphQL query accessor (reference: packages/vaex-graphql, 400 LoC).
 
 The reference generates a graphene schema from the DataFrame: per-column
 comparison input types become ``where`` filters and nested groupby/agg object
 types resolve to ``df.groupby().agg()`` (graphql/__init__.py:8-200).
-graphene is not available in this image, so the same query semantics are
-implemented over plain dict queries (the JSON a GraphQL client would POST
-after parsing); ``serve()`` exposes them over HTTP.  When graphene IS
-importable, ``schema()`` builds the real GraphQL schema on top of the same
-executor.
+graphene is not available in this image, so the query language itself is
+implemented here: a small GraphQL tokenizer + recursive-descent parser for
+the subset the reference's generated schema serves (selection sets, field
+arguments, input objects/lists/scalars), executed directly against the
+DataFrame.  ``df.graphql.execute(query)`` accepts the same query strings the
+reference's tests use (reference tests/graphql_test.py) and returns a result
+object with ``.data`` / ``.errors``.
 
-Query shape (mirrors the generated schema)::
+Query language (mirrors the generated schema; Hasura-style where)::
 
-    df.graphql.query({
-        "where": {"x": {"_gt": 4}, "name": {"_eq": "n0"}},
-        "count": True,
-        "mean": ["x", "y"],
-        "groupby": {"by": ["g"], "agg": {"x": "sum"}},
-    })
+    {
+        df(where: {x: {_gt: 4}, _or: [{y: {_eq: 1}}, {y: {_eq: 2}}]}) {
+            count
+            min { x y }
+            mean { x }
+            row(offset: 3, limit: 2) { x y }
+            groupby { g { count keys mean { x } } }
+        }
+    }
+
+A plain dict-query API (``df.graphql.query({...})``) with the same semantics
+is kept for programmatic use.
 """
 
 from __future__ import annotations
@@ -24,6 +32,180 @@ from __future__ import annotations
 import numpy as np
 
 from .dataframe import register_dataframe_accessor
+
+
+# ---------------------------------------------------------------------------
+# GraphQL subset parser
+
+
+class GraphQLSyntaxError(ValueError):
+    pass
+
+
+_PUNCT = set("{}():[]=!")
+
+
+def _tokenize(src):
+    tokens = []
+    i, n = 0, len(src)
+    while i < n:
+        c = src[i]
+        if c in " \t\r\n,":  # commas are insignificant separators in GraphQL
+            i += 1
+            continue
+        if c == "#":  # comment to end of line
+            while i < n and src[i] != "\n":
+                i += 1
+            continue
+        if c == '"':
+            j = i + 1
+            buf = []
+            while j < n and src[j] != '"':
+                if src[j] == "\\" and j + 1 < n:
+                    esc = src[j + 1]
+                    buf.append({"n": "\n", "t": "\t", '"': '"', "\\": "\\"}.get(esc, esc))
+                    j += 2
+                else:
+                    buf.append(src[j])
+                    j += 1
+            if j >= n:
+                raise GraphQLSyntaxError("unterminated string")
+            tokens.append(("string", "".join(buf)))
+            i = j + 1
+            continue
+        if c.isdigit() or (c == "-" and i + 1 < n and src[i + 1].isdigit()):
+            j = i + 1
+            while j < n and (src[j].isdigit() or src[j] in ".eE+-"):
+                # stop '+-' unless part of exponent
+                if src[j] in "+-" and src[j - 1] not in "eE":
+                    break
+                j += 1
+            text = src[i:j]
+            tokens.append(("number", float(text) if any(ch in text for ch in ".eE") else int(text)))
+            i = j
+            continue
+        if c.isalpha() or c == "_":
+            j = i + 1
+            while j < n and (src[j].isalnum() or src[j] == "_"):
+                j += 1
+            tokens.append(("name", src[i:j]))
+            i = j
+            continue
+        if c in _PUNCT:
+            tokens.append(("punct", c))
+            i += 1
+            continue
+        raise GraphQLSyntaxError(f"unexpected character {c!r} at position {i}")
+    tokens.append(("eof", None))
+    return tokens
+
+
+class _Parser:
+    def __init__(self, src):
+        self.tokens = _tokenize(src)
+        self.pos = 0
+
+    def peek(self):
+        return self.tokens[self.pos]
+
+    def next(self):
+        tok = self.tokens[self.pos]
+        self.pos += 1
+        return tok
+
+    def expect(self, kind, value=None):
+        tok = self.next()
+        if tok[0] != kind or (value is not None and tok[1] != value):
+            raise GraphQLSyntaxError(f"expected {value or kind}, got {tok[1]!r}")
+        return tok
+
+    def parse_document(self):
+        """[query name?] selection_set — bare and named query operations."""
+        kind, value = self.peek()
+        if kind == "name" and value in ("query",):
+            self.next()
+            if self.peek()[0] == "name":  # operation name
+                self.next()
+        selections = self.parse_selection_set()
+        self.expect("eof")
+        return selections
+
+    def parse_selection_set(self):
+        self.expect("punct", "{")
+        fields = []
+        while True:
+            kind, value = self.peek()
+            if kind == "punct" and value == "}":
+                self.next()
+                return fields
+            if kind != "name":
+                raise GraphQLSyntaxError(f"expected field name, got {value!r}")
+            fields.append(self.parse_field())
+
+    def parse_field(self):
+        name = self.next()[1]
+        alias = None
+        if self.peek() == ("punct", ":"):
+            # alias: actual_field
+            self.next()
+            alias, name = name, self.expect("name")[1]
+        args = {}
+        if self.peek() == ("punct", "("):
+            self.next()
+            while self.peek() != ("punct", ")"):
+                arg_name = self.expect("name")[1]
+                self.expect("punct", ":")
+                args[arg_name] = self.parse_value()
+            self.next()
+        selections = None
+        if self.peek() == ("punct", "{"):
+            selections = self.parse_selection_set()
+        return {"name": name, "alias": alias or name, "args": args,
+                "selections": selections}
+
+    def parse_value(self):
+        kind, value = self.next()
+        if kind in ("number", "string"):
+            return value
+        if kind == "name":
+            if value == "true":
+                return True
+            if value == "false":
+                return False
+            if value == "null":
+                return None
+            return value  # enum-ish bare name
+        if kind == "punct" and value == "[":
+            items = []
+            while self.peek() != ("punct", "]"):
+                items.append(self.parse_value())
+            self.next()
+            return items
+        if kind == "punct" and value == "{":
+            obj = {}
+            while self.peek() != ("punct", "}"):
+                key = self.expect("name")[1]
+                self.expect("punct", ":")
+                obj[key] = self.parse_value()
+            self.next()
+            return obj
+        raise GraphQLSyntaxError(f"unexpected token {value!r} in value position")
+
+
+def parse_query(src):
+    """Parse a GraphQL query string into a list of field-selection dicts."""
+    return _Parser(src).parse_document()
+
+
+class ExecutionResult:
+    """Mirrors graphene's result object: ``.data`` and ``.errors``."""
+
+    def __init__(self, data=None, errors=None):
+        self.data = data
+        self.errors = errors or None
+
+    def __repr__(self):
+        return f"ExecutionResult(data={self.data!r}, errors={self.errors!r})"
 
 _OPS = {
     "_eq": "==", "_neq": "!=", "_gt": ">", "_lt": "<", "_gte": ">=", "_lte": "<=",
@@ -52,10 +234,110 @@ def _where_expression(df, where: dict) -> str:
     return " & ".join(f"({p})" for p in parts) if parts else "True"
 
 
+_STATS = ("min", "max", "mean", "sum", "std", "var")
+
+
+def _exec_stats_scalar(df, field):
+    """min/max/mean {x y} at the top level -> {col: scalar}."""
+    return {sub["alias"]: _plain(getattr(df, field["name"])(sub["name"]))
+            for sub in field["selections"] or []}
+
+
+def _exec_row(df, field):
+    args = field["args"]
+    offset = int(args.get("offset", 0) or 0)
+    limit = int(args.get("limit", 100))
+    n = max(min(len(df) - offset, limit), 0)
+    sub = df[offset:offset + n]
+    names = [f["name"] for f in field["selections"] or []]
+    aliases = [f["alias"] for f in field["selections"] or []]
+    columns = [_plain_list(sub.evaluate(name, array_type="python")) for name in names]
+    return [dict(zip(aliases, row)) for row in zip(*columns)] if names else []
+
+
+def _exec_groupby_level(df, by, selections):
+    """One groupby {key {...}} level (reference create_groupby/create_aggregate:
+    count/keys lists, per-column stat lists, one nested key level)."""
+    from . import agg as agg_module
+    out = {}
+    aggs = {}
+    plan = []    # (alias, kind, payload)
+    nested = []
+    for f in selections:
+        name = f["name"]
+        if name == "count" and f["selections"] is None:
+            aggs["__count"] = agg_module.count("*")
+            plan.append((f["alias"], "count", None))
+        elif name == "keys" and f["selections"] is None:
+            plan.append((f["alias"], "keys", None))
+        elif name in _STATS and f["selections"]:
+            for sub in f["selections"]:
+                aggs[f"__{name}_{sub['name']}"] = getattr(agg_module, name)(sub["name"])
+            plan.append((f["alias"], "stat", f))
+        elif f["selections"] is not None:
+            nested.append(f)  # second groupby key (reference: len(groupby) < 2)
+        else:
+            raise ValueError(f"unknown groupby field {name!r}")
+    if plan:
+        dfg = df.groupby(by, agg=aggs or {"__count": agg_module.count("*")}, sort=True)
+        for alias, kind, payload in plan:
+            if kind == "count":
+                out[alias] = _plain_list(dfg["__count"].tolist())
+            elif kind == "keys":
+                out[alias] = _plain_list(dfg[by[-1]].tolist())
+            else:
+                out[alias] = {sub["alias"]: _plain_list(dfg[f"__{payload['name']}_{sub['name']}"].tolist())
+                              for sub in payload["selections"]}
+    for f in nested:
+        out[f["alias"]] = _exec_groupby_level(df, by + [f["name"]], f["selections"])
+    return out
+
+
+def _exec_df_field(df, field):
+    args = field["args"]
+    if "where" in args and args["where"]:
+        df = df.filter(_where_expression(df, args["where"]))
+    out = {}
+    for f in field["selections"] or []:
+        name = f["name"]
+        if name == "count" and f["selections"] is None:
+            out[f["alias"]] = int(df.count())
+        elif name in _STATS and f["selections"]:
+            out[f["alias"]] = _exec_stats_scalar(df, f)
+        elif name == "row":
+            out[f["alias"]] = _exec_row(df, f)
+        elif name == "groupby" and f["selections"]:
+            out[f["alias"]] = {sub["alias"]: _exec_groupby_level(df, [sub["name"]], sub["selections"] or [])
+                               for sub in f["selections"]}
+        else:
+            raise ValueError(f"unknown field {name!r}")
+    return out
+
+
 @register_dataframe_accessor("graphql")
 class DataFrameAccessorGraphQL:
     def __init__(self, df):
         self.df = df
+
+    def execute(self, query, name="df"):
+        """Execute a GraphQL query string (reference: schema().execute(...)).
+
+        Supports the subset the reference's generated schema serves: ``where``
+        filters (Hasura-style _eq/_neq/_gt/_lt/_gte/_lte/_and/_or/_not),
+        count, min/max/mean selections, row pagination, and one- or two-level
+        groupby with count/keys/stat lists.
+        """
+        dfs = {name: self.df}
+        try:
+            fields = parse_query(query)
+            data = {}
+            for field in fields:
+                if field["name"] not in dfs:
+                    raise ValueError(f"unknown dataframe {field['name']!r}")
+                data[field["alias"]] = _exec_df_field(dfs[field["name"]], field)
+            return ExecutionResult(data=data)
+        except Exception as e:  # noqa: BLE001 - graphql surfaces errors in-band
+            return ExecutionResult(data=None, errors=[str(e)])
 
     def query(self, q: dict):
         df = self.df
@@ -105,8 +387,14 @@ class DataFrameAccessorGraphQL:
 
         class Handler(tornado.web.RequestHandler):
             def post(self):
-                q = json.loads(self.request.body)
-                self.write(json.dumps(accessor.query(q), default=str))
+                body = json.loads(self.request.body)
+                if isinstance(body, dict) and isinstance(body.get("query"), str):
+                    # standard GraphQL-over-HTTP shape: {"query": "{ df { ... } }"}
+                    result = accessor.execute(body["query"])
+                    self.write(json.dumps({"data": result.data, "errors": result.errors},
+                                          default=str))
+                else:
+                    self.write(json.dumps(accessor.query(body), default=str))
 
         app = tornado.web.Application([(r"/graphql", Handler)])
         app.listen(port)
