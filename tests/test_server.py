@@ -125,3 +125,88 @@ def test_remote_groupby(remote_df):
     npt.assert_array_equal(out["g"], [0, 1, 2])
     npt.assert_allclose(out["s"], [18.0, 12.0, 15.0])
     npt.assert_array_equal(out["c"], [4, 3, 3])
+
+
+def test_auth_tokens():
+    df = vt.from_arrays(x=X.copy())
+    service = Service({"test": df}, token="secret")
+    # wrong/missing token -> every call errors
+    bad = DummyTransport(service)
+    reply = bad.request({"command": "list"})
+    assert "error" in reply and "token" in reply["error"]
+    with pytest.raises(RuntimeError):
+        Client(DummyTransport(service))
+    # correct token works
+    client = Client(DummyTransport(service), token="secret")
+    assert client["test"].sum("x") == X.sum()
+
+
+def test_auth_token_trusted_unlocks_functions():
+    import pickle  # noqa: F401
+    df = vt.from_arrays(x=X.copy())
+    service = Service({"test": df}, token="secret", token_trusted="supersecret")
+    client = Client(DummyTransport(service), token="secret")
+    dfr = client["test"]
+    assert dfr.count() == 10  # plain calls fine without trusted
+
+    # a state carrying a pickled function: untrusted client -> rejected
+    local = vt.from_arrays(x=X.copy())
+    local.add_function("f", lambda x: x * 3)
+    local["v"] = "f(x)"
+    state = local.state_get()
+    with pytest.raises(RuntimeError):
+        client._call("test", "sum", ("v",), state=state)
+    trusted_client = Client(DummyTransport(service), token_trusted="supersecret")
+    assert trusted_client._call("test", "sum", ("v",), state=state) == 3 * X.sum()
+
+
+def test_progress_streaming_dummy():
+    df = vt.from_arrays(x=np.arange(100, dtype="f8"))
+    df._tile_rows = 16  # several tiles -> several progress ticks
+    service = Service({"test": df})
+    fractions = []
+    client = Client(DummyTransport(service), on_progress=fractions.append)
+    from vaex_tpu import cache
+    with cache.off():
+        assert client["test"].sum("x") == np.arange(100).sum()
+    assert fractions and fractions[-1] == 1.0
+
+
+def test_progress_streaming_websocket():
+    tornado = pytest.importorskip("tornado")
+    import asyncio
+    import threading
+    import time
+
+    from vaex_tpu.server.tornado_server import make_app
+
+    df = vt.from_arrays(x=np.arange(100, dtype="f8"))
+    df._tile_rows = 16
+    service = Service({"test": df})
+    port = 19877
+    started = threading.Event()
+    loop_holder = {}
+
+    def run():
+        asyncio.set_event_loop(asyncio.new_event_loop())
+        app = make_app(service)
+        app.listen(port)
+        loop_holder["loop"] = tornado.ioloop.IOLoop.current()
+        started.set()
+        loop_holder["loop"].start()
+
+    t = threading.Thread(target=run, daemon=True)
+    t.start()
+    started.wait(5)
+    time.sleep(0.2)
+    fractions = []
+    try:
+        from vaex_tpu.server import connect
+        from vaex_tpu import cache
+        client = connect(f"ws://localhost:{port}", on_progress=fractions.append)
+        with cache.off():
+            assert client["test"].sum("x") == np.arange(100).sum()
+        client.close()
+    finally:
+        loop_holder["loop"].add_callback(loop_holder["loop"].stop)
+    assert fractions and fractions[-1] == 1.0

@@ -31,6 +31,9 @@ def main(argv=None):
     p_server = sub.add_parser("webserver", help="serve files over websocket/REST")
     p_server.add_argument("paths", nargs="+")
     p_server.add_argument("--port", type=int, default=9000)
+    p_server.add_argument("--token", default=None, help="require this token for access")
+    p_server.add_argument("--token-trusted", default=None, dest="token_trusted",
+                          help="token unlocking trusted mode (pickled functions)")
 
     p_bench = sub.add_parser("benchmark", help="run the groupby benchmark")
     p_bench.add_argument("--n", type=float, default=1e7)
@@ -70,7 +73,7 @@ def main(argv=None):
             name = os.path.splitext(os.path.basename(path))[0]
             frames[name] = vt.open(path)
         print(f"serving {list(frames)} on port {args.port}")
-        serve(frames, port=args.port)
+        serve(frames, port=args.port, token=args.token, token_trusted=args.token_trusted)
     elif args.command == "benchmark":
         import os
         os.environ["VAEX_TPU_BENCH_N"] = str(args.n)

@@ -1131,12 +1131,17 @@ class DataFrame:
         return float(np.nansum(terms))
 
     # -------------------------------------------------------------- set ops
-    def _set(self, expression, keep_counts=False, limit=None, limit_raise=True):
+    def _set(self, expression, keep_counts=False, limit=None, limit_raise=True,
+             expected_cardinality=None):
         """Build a SortedSet over an expression (reference dataframe.py:474).
 
         Device-evaluable keys build on the accelerator (per-tile static-size
-        unique, tiny host merges); the cap retries 64Ki -> 1Mi before falling
-        back to the host chunk path.
+        unique, tiny host merges).  One 64Ki-cap attempt doubles as the
+        cardinality probe; on overflow the build jumps straight to the global
+        device sort (one sort of all keys, boundary compaction) — the ladder's
+        middle rungs only ever paid per-tile sort cost twice.  Callers that
+        already know the key is high-cardinality (GrouperCombined's fused
+        keys) pass ``expected_cardinality`` to skip the probe entirely.
         """
         expression = str(expression)
         from . import settings
@@ -1147,8 +1152,10 @@ class DataFrame:
             if hints is None:
                 hints = self.executor._set_cap_hints = {}
             hint_key = expression
-            ladder = [c for c in (65536, 1 << 20, tile_cap)
-                      if c >= hints.get(hint_key, 0)] or [tile_cap]
+            ladder = [c for c in (65536, 1 << 20)
+                      if c < tile_cap and c >= hints.get(hint_key, 0)]
+            if expected_cardinality is not None:
+                ladder = [c for c in ladder if expected_cardinality < c]
             for cap in ladder:
                 task = TaskSetCreateDevice(self, expression, keep_counts=keep_counts,
                                            limit=limit if limit_raise else None,
@@ -1160,7 +1167,7 @@ class DataFrame:
                     return task.get()
                 except SetCapOverflow:
                     hints[hint_key] = cap * 2  # skip this rung next time
-                    continue
+                    break  # go straight to the global device sort
             # cardinality comparable to the row count: global device sort
             oset = self._set_device_global(expression, keep_counts=keep_counts,
                                            limit=limit if limit_raise else None)
@@ -1187,6 +1194,8 @@ class DataFrame:
             return None  # nullable keys keep the host path (null slot logic)
         import jax
         data = raw if isinstance(raw, jnp.ndarray) else jnp.asarray(np.asarray(raw))
+        if data.shape[0] == 0:
+            return SortedSet(np.dtype(data.dtype), keep_counts=keep_counts, limit=limit)
         fdata = data
         nan_count = 0
         if jnp.issubdtype(fdata.dtype, jnp.floating):
@@ -1208,16 +1217,32 @@ class DataFrame:
             raise RowLimitException(
                 f"set grew to {n_total} unique values, which exceeds the limit of {limit}")
 
-        uniq, counts = jax.jit(
-            lambda s: jnp.unique(s, size=n_total, fill_value=s[-1],
-                                 return_counts=True))(s)
+        # compact the already-sorted data: positions of the segment starts.
+        # (jnp.unique would sort a second time; boundary gather is one pass)
+        @jax.jit
+        def compact(s):
+            flags = jnp.concatenate([jnp.ones(1, bool), s[1:] != s[:-1]])
+            starts = jnp.nonzero(flags, size=n_total, fill_value=s.shape[0] - 1)[0]
+            uniq = s[starts]
+            if keep_counts:
+                n = s.shape[0]
+                ends = jnp.concatenate([starts[1:], jnp.full((1,), n, starts.dtype)])
+                return uniq, ends - starts
+            return uniq, None
+
+        uniq, counts = compact(s)
         uniq_np = np.asarray(uniq)[:n_uniq]
-        counts_np = np.asarray(counts)[:n_uniq].astype(np.int64)
         oset = SortedSet(uniq_np.dtype, keep_counts=keep_counts, limit=limit)
         oset.keys = uniq_np
         if keep_counts:
+            counts_np = np.asarray(counts).astype(np.int64)
+            if nan_count:  # the NaN->inf slot sits last; its count is nan_count
+                counts_np = counts_np[:n_uniq]
             oset.counts = counts_np
         oset.nan_count = nan_count
+        # keys already live on the device: probes in later passes reuse them
+        # instead of re-uploading (GrouperCombined's 1e7-key fused sets)
+        oset._device_keys = uniq[:n_uniq] if n_uniq != n_total else uniq
         return oset
 
     def unique(self, expression, return_inverse=False, dropna=False, dropnan=False,

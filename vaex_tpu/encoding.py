@@ -76,13 +76,22 @@ def _decode_variable(spec):
     return spec["value"]
 
 
+def _function_pickler():
+    try:
+        import cloudpickle
+        return cloudpickle
+    except ImportError:  # pragma: no cover
+        import pickle
+        return pickle
+
+
 def state_get(df, skip=None):
     import base64
-    import pickle
+    pickler = _function_pickler()  # cloudpickle: lambdas/closures serialize too
     functions = {}
     for name, f in df.functions.items():
         try:
-            functions[name] = base64.b64encode(pickle.dumps(f)).decode()
+            functions[name] = base64.b64encode(pickler.dumps(f)).decode()
         except Exception:
             pass  # unpicklable UDFs are dropped from the state (as-documented)
     return {
@@ -106,10 +115,10 @@ def state_set(df, state, set_filter=True, trusted=True):
         # pickled functions execute arbitrary code: gated exactly like the
         # reference's token-trusted wire flag (websocket.py:18-120)
         import base64
-        import pickle
+        pickler = _function_pickler()
         for name, blob in state.get("functions", {}).items():
             try:
-                f = pickle.loads(base64.b64decode(blob))
+                f = pickler.loads(base64.b64decode(blob))
             except Exception:
                 continue
             df.add_function(name, f, vectorize=True)

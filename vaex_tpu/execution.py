@@ -240,11 +240,21 @@ class ExecutorLocal(Executor):
                                   host_filter=filter_expr if filter_on_device is False else None,
                                   tile_rows=T)
 
-        aux = {name: jnp.asarray(s.keys) for name, s in set_variables.items()}
+        # device-built sets keep their key array in HBM (_device_keys); reuse
+        # it instead of re-uploading (1e7-key fused groupby sets = 80MB)
+        aux = {name: (s._device_keys if getattr(s, "_device_keys", None) is not None
+                      else jnp.asarray(s.keys))
+               for name, s in set_variables.items()}
 
         outputs_per_task = [[] for _ in device_tasks]
         cancelled = False
-        for i1, i2, chunks in dataset.chunk_iterator(all_columns, T):
+        chunk_stream = dataset.chunk_iterator(all_columns, T)
+        if settings.PREFETCH > 0 and n_total > T:
+            # readahead thread: disk/decompression of chunk k+1 overlaps the
+            # host stage + device compute of chunk k (the reference's separate
+            # IO pool, multithreading.py:34-38; tiles here are pulled eagerly)
+            chunk_stream = _prefetched(chunk_stream, settings.PREFETCH)
+        for i1, i2, chunks in chunk_stream:
             n = i2 - i1
             host_scope = HostScope(df, i1, i2, {k: chunks[k] for k in host_columns}) if need_host_scope else None
 
@@ -430,6 +440,48 @@ class ExecutorLocal(Executor):
 
 
 _TRUE_TILE = {}
+
+
+def _prefetched(iterator, depth):
+    """Pull ``iterator`` on a daemon thread, buffering up to ``depth`` items.
+
+    Exceptions re-raise at the consumption point; abandoning the generator
+    (cancellation) stops the producer at its next put.
+    """
+    import queue
+    import threading
+
+    q = queue.Queue(maxsize=depth)
+    _END = object()
+    stop = threading.Event()
+
+    def produce():
+        try:
+            for item in iterator:
+                while not stop.is_set():
+                    try:
+                        q.put(item, timeout=0.1)
+                        break
+                    except queue.Full:
+                        continue
+                if stop.is_set():
+                    return
+            q.put(_END)
+        except BaseException as e:  # noqa: BLE001 - forwarded to consumer
+            q.put(e)
+
+    thread = threading.Thread(target=produce, daemon=True, name="vaex-tpu-prefetch")
+    thread.start()
+    try:
+        while True:
+            item = q.get()
+            if item is _END:
+                return
+            if isinstance(item, BaseException):
+                raise item
+            yield item
+    finally:
+        stop.set()
 
 
 def _pad(ar, T):

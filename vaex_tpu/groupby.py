@@ -144,18 +144,30 @@ class GrouperCombined:
                  else f"astype({g.ordinal_expression}, 'int64')"
                  for g, m in zip(groupers, multipliers)]
         self.expression = " + ".join(f"({p})" for p in parts)
-        self.set = df._set(self.expression, limit=row_limit)
+        # the observed-combination count is bounded by both the cartesian
+        # product and the row count; passing it skips useless probe rungs
+        product = float(np.prod([max(g.N, 1) for g in groupers], dtype=np.float64))
+        expected = int(min(product, len(df)))
+        self.set = df._set(self.expression, limit=row_limit,
+                           expected_cardinality=expected)
         self.N = self.set.n_keys
         var = df.add_variable("grouper_set", self.set, unique=True)
         self.binby_expression = f"_ordinal_values({self.expression}, {var})"
         self.binner = BinnerOrdinal(self.binby_expression, 0, self.N)
         self.sort_indices = None
         # decode fused keys back into per-key bin values (groupby.py:186-213)
-        fused = self.set.keys.astype(np.int64)
+        # progressively: one floor-divide per key (no mod), dense groupers
+        # translate ordinals by an offset instead of gathering bin_values
+        rem = self.set.keys.astype(np.int64)
         self.bin_values_per_key = []
         for g, m in zip(groupers, multipliers):
-            ordinals = (fused // m) % g.N
-            self.bin_values_per_key.append(_take_bin_values(g.bin_values, ordinals))
+            ordinals = rem // m if m != 1 else rem
+            if m != 1:
+                rem = rem - ordinals * m
+            if getattr(g, "dense", False):
+                self.bin_values_per_key.append(ordinals + g.lo)
+            else:
+                self.bin_values_per_key.append(_take_bin_values(g.bin_values, ordinals))
         self.bin_values = None
 
 
@@ -361,7 +373,13 @@ class GroupBy(GroupByBase):
         has_count_star = any(desc.name == "count" and desc.expression in (None, "*")
                              for _, desc in parsed)
         count_promise = None
-        if not has_count_star:
+        # the count grid exists to drop never-observed cells; a combined
+        # grouper's cells are exactly the observed combinations and a plain
+        # (non-dense) single grouper's bins are exactly the observed keys, so
+        # neither needs it
+        needs_counts = ((self.combined is None and len(self.by) > 1)
+                        or any(getattr(g, "dense", False) for g in self.by))
+        if not has_count_star and needs_counts:
             [count_promise] = agg_module.count("*").add_tasks(self.df, self.binners)
         for name, desc in parsed:
             desc.edges = True
@@ -378,7 +396,7 @@ class GroupBy(GroupByBase):
             grids[name] = grid
             if desc.name == "count" and desc.expression in (None, "*"):
                 counts = grid
-        if counts is None:
+        if counts is None and count_promise is not None:
             counts = agg_module.extract_central(np.asarray(count_promise.get()), ndim)
 
         return self._assemble(grids, counts)

@@ -100,6 +100,7 @@ class SortedSet:
         self.null_count = 0
         self.limit = limit
         self._fingerprint = None
+        self._device_keys = None  # HBM copy set by device-side builds
 
     # -- construction -------------------------------------------------------
     def update(self, values, return_inverse=False):
@@ -133,6 +134,7 @@ class SortedSet:
             raise RowLimitException(
                 f"set grew to {self.count} unique values, which exceeds the limit of {self.limit}")
         self._fingerprint = None
+        self._device_keys = None
 
     def merge(self, other: "SortedSet"):
         self.nan_count += other.nan_count
@@ -153,6 +155,7 @@ class SortedSet:
             else:
                 self.keys = np.unique(np.concatenate([self.keys, other.keys]))
         self._fingerprint = None
+        self._device_keys = None
 
     # -- introspection ------------------------------------------------------
     @property

@@ -147,6 +147,22 @@ class HostScope:
         self.values[name] = value
         return value
 
+    # a real Mapping protocol: eval() locals get introspected by tooling
+    # (traceback suggestions iterate frame locals), which falls back to
+    # integer __getitem__ without __iter__
+    def __iter__(self):
+        return iter(self.values)
+
+    def __len__(self):
+        return len(self.values)
+
+    def keys(self):
+        return self.values.keys()
+
+    def __contains__(self, name):
+        return (name in self.values or name in self.df.virtual_columns
+                or name in self.df.variables)
+
 
 def classify_leaves(df, expression):
     """Walk an expression (expanding virtual columns) and collect

@@ -23,27 +23,46 @@ class WebsocketTransport:
         self._ws = ws_connect(url if url.endswith("/websocket") else url.rstrip("/") + "/websocket")
         self._msg_id = 0
 
-    def request(self, msg):
+    def request(self, msg, on_progress=None):
         self._msg_id += 1
         msg["msg_id"] = self._msg_id
         self._ws.send(json.dumps(msg))
         while True:
             reply = json.loads(self._ws.recv())
-            if reply.get("msg_id") == self._msg_id:
-                return reply
+            if reply.get("msg_id") != self._msg_id:
+                continue
+            if "progress" in reply and "result" not in reply and "error" not in reply:
+                if on_progress is not None:
+                    on_progress(reply["progress"])
+                continue
+            return reply
 
     def close(self):
         self._ws.close()
 
 
 class Client:
-    def __init__(self, transport):
+    def __init__(self, transport, token=None, token_trusted=None, on_progress=None):
         self.transport = transport
+        self.token = token
+        self.token_trusted = token_trusted
+        self.on_progress = on_progress
         self._frames = {}
         self.update()
 
+    def _auth(self):
+        auth = {}
+        if self.token is not None:
+            auth["token"] = self.token
+        if self.token_trusted is not None:
+            auth["token-trusted"] = self.token_trusted
+        return auth or None
+
     def update(self):
-        reply = self.transport.request({"command": "list"})
+        msg = {"command": "list"}
+        if self._auth():
+            msg["auth"] = self._auth()
+        reply = self.transport.request(msg)
         if "error" in reply:
             raise RuntimeError(reply["error"])
         info = decode_result(reply["result"])
@@ -63,7 +82,12 @@ class Client:
                "args": encode_result(list(args)),
                "kwargs": encode_result(dict(kwargs or {})),
                "state": state}
-        reply = self.transport.request(msg)
+        if self._auth():
+            msg["auth"] = self._auth()
+        try:
+            reply = self.transport.request(msg, on_progress=self.on_progress)
+        except TypeError:  # transports without progress support
+            reply = self.transport.request(msg)
         if "error" in reply:
             raise RuntimeError(reply["error"] + "\n" + reply.get("traceback", ""))
         return decode_result(reply["result"])
@@ -255,8 +279,13 @@ class DataFrameRemote:
         return self._rmi("groupby_agg", by, wire_agg, sort=sort)
 
 
-def connect(url) -> Client:
-    """vaex_tpu.server.connect('ws://localhost:9000') (reference vaex.connect)."""
+def connect(url, token=None, token_trusted=None, on_progress=None) -> Client:
+    """vaex_tpu.server.connect('ws://localhost:9000') (reference vaex.connect).
+
+    ``token``/``token_trusted`` authenticate against a locked server;
+    ``on_progress(fraction)`` receives streamed progress during computations.
+    """
     if url.startswith("dummy:"):
         raise ValueError("use Client(DummyTransport(service)) for in-process tests")
-    return Client(WebsocketTransport(url))
+    return Client(WebsocketTransport(url), token=token, token_trusted=token_trusted,
+                  on_progress=on_progress)

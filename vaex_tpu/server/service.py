@@ -69,10 +69,36 @@ def _decode_agg_spec(spec):
     return spec
 
 
+class AuthError(PermissionError):
+    pass
+
+
 class Service:
-    def __init__(self, dataframes: dict, trusted=False):
+    """``token`` gates all access; ``token_trusted`` additionally unlocks
+    trusted mode (pickled functions in state) for requests presenting it —
+    the reference's ``auth: {token, token-trusted}`` scheme
+    (vaex-server/websocket.py:18-120)."""
+
+    def __init__(self, dataframes: dict, trusted=False, token=None, token_trusted=None):
         self.dataframes = dict(dataframes)
         self.trusted = trusted
+        self.token = token
+        self.token_trusted = token_trusted
+
+    def check_auth(self, auth=None):
+        """-> trusted flag for this request; raises AuthError when locked."""
+        auth = auth or {}
+        presented = auth.get("token")
+        presented_trusted = auth.get("token-trusted")
+        if self.token_trusted is not None and presented_trusted == self.token_trusted:
+            return True
+        if self.token is not None:
+            if presented != self.token:
+                raise AuthError("invalid or missing token")
+            return self.trusted
+        if self.token_trusted is not None and presented_trusted is not None:
+            raise AuthError("invalid trusted token")
+        return self.trusted
 
     def list_dataframes(self):
         out = {}
@@ -84,7 +110,8 @@ class Service:
             }
         return out
 
-    def call(self, df_name, method, args, kwargs, state=None):
+    def call(self, df_name, method, args, kwargs, state=None, trusted=None,
+             on_progress=None):
         if df_name not in self.dataframes:
             raise KeyError(f"no such dataframe: {df_name!r}")
         if method not in ALLOWED_METHODS:
@@ -93,7 +120,32 @@ class Service:
         if state:
             # pickled functions in client state only execute in trusted mode
             # (reference: token-trusted gate, websocket.py)
-            df.state_set(state, trusted=self.trusted)
+            df.state_set(state, trusted=self.trusted if trusted is None else trusted)
+        if on_progress is not None:
+            return self._call_with_progress(df, method, args, kwargs, on_progress)
+        return self._invoke(df, method, args, kwargs)
+
+    def _call_with_progress(self, df, method, args, kwargs, on_progress):
+        """Stream executor progress to ``on_progress`` (throttled ~10/s, like
+        the reference's {progress: f} websocket messages, websocket.py:60-78).
+        A False return requests cancellation."""
+        import time
+        last = [0.0]
+
+        def forward(fraction):
+            now = time.monotonic()
+            if fraction >= 1.0 or now - last[0] > 0.1:
+                last[0] = now
+                return on_progress(float(fraction)) is not False
+            return True
+
+        df.executor.signal_progress.connect(forward)
+        try:
+            return self._invoke(df, method, args, kwargs)
+        finally:
+            df.executor.signal_progress.disconnect(forward)
+
+    def _invoke(self, df, method, args, kwargs):
         if method == "__len__":
             return len(df)
         if method == "groupby_agg":
@@ -121,9 +173,10 @@ class DummyTransport:
     def __init__(self, service: Service):
         self.service = service
 
-    def request(self, msg):
+    def request(self, msg, on_progress=None):
         import traceback
         try:
+            trusted = self.service.check_auth(msg.get("auth"))
             command = msg["command"]
             if command == "list":
                 return {"result": encode_result(self.service.list_dataframes())}
@@ -131,7 +184,8 @@ class DummyTransport:
                 value = self.service.call(msg["df"], msg["method"],
                                           decode_result(msg.get("args", {"kind": "list", "items": []})),
                                           decode_result(msg.get("kwargs", {"kind": "dict", "items": {}})),
-                                          state=msg.get("state"))
+                                          state=msg.get("state"), trusted=trusted,
+                                          on_progress=on_progress)
                 return {"result": encode_result(value)}
             raise ValueError(f"unknown command {command!r}")
         except Exception as e:  # noqa: BLE001 - errors cross the wire

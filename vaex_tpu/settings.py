@@ -13,6 +13,8 @@ Env vars (all optional):
   VAEX_TPU_X64              '1' (default) enable float64/int64 parity with the
                             reference; '0' keeps everything 32-bit for speed.
   VAEX_TPU_NUM_THREADS_IO   host IO thread pool size (default 8)
+  VAEX_TPU_PREFETCH         chunk readahead depth in the executor (default 2;
+                            0 disables the IO thread)
 """
 
 from __future__ import annotations
@@ -31,6 +33,7 @@ TILE_ROWS_MAX = _int_env("VAEX_TPU_TILE_ROWS_MAX", 1 << 22)
 CACHE = os.environ.get("VAEX_TPU_CACHE", "memory")
 X64 = os.environ.get("VAEX_TPU_X64", "1") == "1"
 NUM_THREADS_IO = _int_env("VAEX_TPU_NUM_THREADS_IO", 8)
+PREFETCH = _int_env("VAEX_TPU_PREFETCH", 2)
 
 _main = {}
 
