@@ -155,3 +155,35 @@ def test_binby_large_grid(df_local):
     npt.assert_allclose(mins[1], 1.0)
     maxs = df.max("x", binby=["k"])
     npt.assert_allclose(maxs[4999], 9999.0)
+
+
+def test_int64_sum_exact_beyond_f64(df_local):
+    """Integer sums past 2^53 are exact (limb path; reference int64 C++
+    accumulation is exact, superagg.cpp:350)."""
+    import vaex_tpu as vt
+    n = 20000
+    big = (1 << 60) + 12345  # not representable in f64
+    k = np.arange(n, dtype=np.int64) % 3000  # G=3000 > 2048 -> sort path on CPU
+    v = np.full(n, big, dtype=np.int64)
+    v[::7] = -((1 << 59) + 991)
+    df = vt.from_dict({"k": k * 5 + 1, "v": v})
+    out = df.groupby(["k"], agg={"v": "sum"}, sort=True).to_pandas_df()
+    oracle = {}
+    for kk, vv in zip(k * 5 + 1, v):
+        oracle[kk] = np.int64(oracle.get(kk, np.int64(0)) + vv)  # wraparound semantics
+    keys = sorted(oracle)
+    npt.assert_array_equal(out["k"].to_numpy(), keys)
+    npt.assert_array_equal(out["v"].to_numpy(), [oracle[kk] for kk in keys])
+
+
+def test_uint64_sum_exact(df_local):
+    import vaex_tpu as vt
+    n = 9000
+    k = np.arange(n, dtype=np.int64) % 2500
+    v = np.full(n, (1 << 62) + 7, dtype=np.uint64)
+    df = vt.from_dict({"k": k * 3, "v": v})
+    out = df.groupby(["k"], agg={"v": "sum"}, sort=True).to_pandas_df()
+    with np.errstate(over="ignore"):
+        oracle = np.zeros(2500, np.uint64)
+        np.add.at(oracle, k, v)
+    npt.assert_array_equal(out["v"].to_numpy().astype(np.uint64), oracle)

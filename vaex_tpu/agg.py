@@ -101,6 +101,13 @@ class OpCount(AggOperation):
 class OpSum(AggOperation):
     name = "sum"
 
+    # 22-bit limbs: 3 cover 64 bits + sign; per-tile limb segment sums stay
+    # <= 2^22 * 2^24 rows = 2^46 — exactly representable through the f64
+    # cumsum of the sort path, so integer sums are EXACT (wraparound mod
+    # 2^64, like the reference's C++ int64 accumulation, superagg.cpp:350)
+    LIMB_BITS = 22
+    LIMB_COUNT = 3
+
     def initial_state(self, G):
         return (np.zeros(G, DataType(self.dtype_in).upcast().numpy),)
 
@@ -119,6 +126,47 @@ class OpSum(AggOperation):
 
     def apply_additive(self, state, grid_col):
         return (state[0] + grid_col.astype(state[0].dtype),)
+
+    def _limb_exact(self):
+        dt = DataType(self.dtype_in)
+        return dt.upcast().numpy.kind in "iu" and dt.device.kind in "iub"
+
+    def additive_columns_exact(self, ctx):
+        """Integer inputs -> two's-complement limb columns (None for floats).
+
+        Used by the sort path; the one-hot kernel path keeps the single f64
+        column (its compensated-f32 accumulation is exact to ~2^48 per cell).
+        """
+        if not self._limb_exact():
+            return None
+        import jax
+        import jax.numpy as jnp
+        x = ctx.expr(self.expressions[0])
+        valid = gridagg.value_valid(x, self._valid(ctx))
+        d = x.data
+        if d.dtype == jnp.uint64:
+            u = d
+        else:
+            # smaller ints sign-extend, smaller uints zero-extend; the final
+            # bitcast preserves two's-complement bits for int64
+            u = jax.lax.bitcast_convert_type(d.astype(jnp.int64), jnp.uint64)
+        u = jnp.where(valid, u, jnp.uint64(0))
+        mask = jnp.uint64((1 << self.LIMB_BITS) - 1)
+        return [((u >> jnp.uint64(self.LIMB_BITS * k)) & mask).astype(jnp.float64)
+                for k in range(self.LIMB_COUNT)]
+
+    def apply_additive_exact(self, state, grid_slab):
+        """grid_slab [G, LIMB_COUNT] f64 limb sums -> exact mod-2^64 delta."""
+        import jax
+        import jax.numpy as jnp
+        u = grid_slab[:, 0].astype(jnp.uint64)
+        for k in range(1, self.LIMB_COUNT):
+            u = u + (grid_slab[:, k].astype(jnp.uint64) << jnp.uint64(self.LIMB_BITS * k))
+        if state[0].dtype == jnp.uint64:
+            delta = u
+        else:
+            delta = jax.lax.bitcast_convert_type(u, jnp.int64).astype(state[0].dtype)
+        return (state[0] + delta,)
 
 
 class OpSumMoment(AggOperation):

@@ -158,8 +158,16 @@ def fused_additive(idx, cols, G, block=FUSED_BLOCK):
 
     import jax
     highest = jax.lax.Precision.HIGHEST  # full-f32 MXU passes; default bf16
+    # off-TPU (CPU tests / fallbacks) the matmul unit is native f64: one
+    # direct f64 matmul is both faster and exact to 2^53 (int sums)
+    native_f64 = jax.default_backend() != "tpu"
+
     def body(carry, inp):
         ib, cb = inp
+        if native_f64:
+            onehot = (ib[:, None] == bins).astype(jnp.float64)
+            return carry + jnp.matmul(onehot.T, cb.astype(jnp.float64),
+                                      precision=highest), None
         onehot = (ib[:, None] == bins).astype(jnp.float32)  # block x G
         if f64:
             hi = cb.astype(jnp.float32)

@@ -133,11 +133,29 @@ class TaskAggregations(Task):
                 new_state[i] = self.subtasks[i].apply_additive(state[i], grids[:, k])
                 done[i] = True
         elif additive and use_sort_additive:
-            cols = jnp.stack([self.subtasks[i].additive_column(ctx) for i in additive], axis=1)
+            # integer sums ride exact limb columns (OpSum.additive_columns_exact)
+            col_specs, col_list = [], []
+            for i in additive:
+                op = self.subtasks[i]
+                exact_cols = (op.additive_columns_exact(ctx)
+                              if hasattr(op, "additive_columns_exact") else None)
+                if exact_cols is not None:
+                    col_specs.append((i, len(exact_cols), True))
+                    col_list.extend(exact_cols)
+                else:
+                    col_specs.append((i, 1, False))
+                    col_list.append(op.additive_column(ctx))
+            cols = jnp.stack(col_list, axis=1)
             sorted_idx, sorted_cols = gridagg.sort_carry(flat, cols)
             grids = gridagg.sorted_additive(sorted_idx, sorted_cols, G)
-            for k, i in enumerate(additive):
-                new_state[i] = self.subtasks[i].apply_additive(state[i], grids[:, k])
+            pos = 0
+            for i, ncols, exact in col_specs:
+                if exact:
+                    new_state[i] = self.subtasks[i].apply_additive_exact(
+                        state[i], grids[:, pos:pos + ncols])
+                else:
+                    new_state[i] = self.subtasks[i].apply_additive(state[i], grids[:, pos])
+                pos += ncols
                 done[i] = True
 
         for mode in ("min", "max"):
