@@ -109,3 +109,48 @@ def test_shuffle_overflow_detection():
     out = shuffle_groupby(df, "astype(k, 'int32')", ["x"], G, mesh,
                           slack=8 * len(jax.devices()))
     assert out["count"][0] == N
+
+
+def test_shuffle_join_lookup():
+    import jax
+    if len(jax.devices()) < 2:
+        pytest.skip("needs multiple devices")
+    from vaex_tpu.parallel import data_mesh
+    from vaex_tpu.parallel.join import shuffle_join_lookup
+
+    mesh = data_mesh()
+    rng = np.random.default_rng(0)
+    rk = rng.permutation(997).astype(np.int64) * 3
+    lk = rng.integers(0, 4000, 5000).astype(np.int64)
+    lookup, overflow, dups = shuffle_join_lookup(mesh, lk, rk)
+    assert overflow == 0 and dups == 0
+    key_to_row = {k: i for i, k in enumerate(rk.tolist())}
+    want = np.array([key_to_row.get(k, -1) for k in lk.tolist()], np.int64)
+    npt.assert_array_equal(np.asarray(lookup), want)
+
+
+def test_mesh_join_end_to_end():
+    """df.join over the distributed executor's mesh matches the local join."""
+    import jax
+    if len(jax.devices()) < 2:
+        pytest.skip("needs multiple devices")
+    from vaex_tpu.parallel import data_mesh
+
+    mesh = data_mesh()
+    rng = np.random.default_rng(1)
+    n = 2000
+    left = vt.from_arrays(k=rng.integers(0, 500, n).astype(np.int64),
+                          a=rng.random(n))
+    right = vt.from_arrays(k=(np.arange(400, dtype=np.int64)),
+                           b=np.arange(400, dtype="f8") * 10)
+    out_mesh = left.join(right, on="k", mesh=mesh)
+    out_local = left.join(right, on="k")
+    npt.assert_array_equal(out_mesh["k"].tolist(), out_local["k"].tolist())
+    bm = out_mesh.evaluate("b", array_type="numpy")
+    bl = out_local.evaluate("b", array_type="numpy")
+    npt.assert_array_equal(np.ma.filled(bm, np.nan), np.ma.filled(bl, np.nan))
+    # duplicate right keys without allow_duplication still raise through the mesh path
+    right_dup = vt.from_arrays(k=np.array([1, 1, 2], dtype=np.int64),
+                               b=np.array([1.0, 2.0, 3.0]))
+    with pytest.raises(ValueError):
+        left.join(right_dup, on="k", mesh=mesh)

@@ -11,6 +11,7 @@ fused pass on the TPU (see :mod:`vaex_tpu.execution`).
 
 from __future__ import annotations
 
+import functools
 import logging
 from typing import Dict, List, Optional
 
@@ -1186,13 +1187,14 @@ class DataFrame:
         be a hashmap approaching the row count, hash_primitives.hpp)."""
         import jax.numpy as jnp
         from .ops.setops import RowLimitException, SortedSet
-        try:
-            raw = self.evaluate(expression)
-        except Exception:
-            return None  # fall back to the host path
+        raw = self._evaluate_device_whole(expression)
+        if raw is None:
+            try:
+                raw = self.evaluate(expression)
+            except Exception:
+                return None  # fall back to the host path
         if isinstance(raw, np.ma.MaskedArray):
             return None  # nullable keys keep the host path (null slot logic)
-        import jax
         data = raw if isinstance(raw, jnp.ndarray) else jnp.asarray(np.asarray(raw))
         if data.shape[0] == 0:
             return SortedSet(np.dtype(data.dtype), keep_counts=keep_counts, limit=limit)
@@ -1204,33 +1206,14 @@ class DataFrame:
             nan_count = int(jnp.sum(jnp.isnan(fdata)))
             fdata = jnp.where(jnp.isnan(fdata), jnp.inf, fdata)
 
-        @jax.jit
-        def count_unique(v):
-            s = jnp.sort(v)
-            flags = jnp.concatenate([jnp.ones(1, bool), s[1:] != s[:-1]])
-            return s, jnp.sum(flags)
-
-        s, n_total = count_unique(fdata)
+        s, n_total = _sort_and_count_unique(fdata)
         n_total = int(n_total)  # unique values incl. the NaN->inf slot
         n_uniq = n_total - (1 if nan_count else 0)
         if limit is not None and n_total > limit:
             raise RowLimitException(
                 f"set grew to {n_total} unique values, which exceeds the limit of {limit}")
 
-        # compact the already-sorted data: positions of the segment starts.
-        # (jnp.unique would sort a second time; boundary gather is one pass)
-        @jax.jit
-        def compact(s):
-            flags = jnp.concatenate([jnp.ones(1, bool), s[1:] != s[:-1]])
-            starts = jnp.nonzero(flags, size=n_total, fill_value=s.shape[0] - 1)[0]
-            uniq = s[starts]
-            if keep_counts:
-                n = s.shape[0]
-                ends = jnp.concatenate([starts[1:], jnp.full((1,), n, starts.dtype)])
-                return uniq, ends - starts
-            return uniq, None
-
-        uniq, counts = compact(s)
+        uniq, counts = _compact_sorted(s, n_total, keep_counts)
         uniq_np = np.asarray(uniq)[:n_uniq]
         oset = SortedSet(uniq_np.dtype, keep_counts=keep_counts, limit=limit)
         oset.keys = uniq_np
@@ -1244,6 +1227,50 @@ class DataFrame:
         # instead of re-uploading (GrouperCombined's 1e7-key fused sets)
         oset._device_keys = uniq[:n_uniq] if n_uniq != n_total else uniq
         return oset
+
+    def _evaluate_device_whole(self, expression):
+        """Evaluate a device expression over whole device-resident columns in
+        one shot (no tiling, no host round trip).  Returns a jnp array, or
+        None when the frame/expression doesn't qualify (filtered frames,
+        host-stage functions, masked or host-resident columns)."""
+        import jax.numpy as jnp
+        from .ops.setops import DeviceSetHandle, SortedSet
+        from .ops.nullable import NA
+        from .scopes import DeviceScope
+        if self.filtered or not expression_is_device(self, str(expression)):
+            return None
+        ds = self.dataset_for_execution()
+        n = ds.row_count
+        if n == 0:
+            return None
+        _, columns, variables = classify_leaves(self, str(expression))
+        na_tile = {}
+        for name in columns:
+            if name not in ds:
+                return None
+            col = ds[name][0:n]
+            if not isinstance(col, jnp.ndarray):
+                return None  # host-resident column: use the tiled pass
+            na_tile[name] = NA(col, None)
+        aux_sets = {}
+        for v in variables:
+            val = self.variables.get(v)
+            if isinstance(val, SortedSet):
+                keys = val._device_keys
+                if keys is None:
+                    if val.is_string:
+                        return None
+                    keys = jnp.asarray(val.keys)
+                    val._device_keys = keys
+                aux_sets[v] = DeviceSetHandle(keys, val.n_keys, val.has_nan,
+                                              val.has_null, host_set=val)
+        scope = DeviceScope(self, na_tile, aux_sets)
+        value = scope.evaluate(str(expression))
+        if value.mask is not None:
+            data = np.asarray(value.data)
+            mask = np.asarray(value.mask)
+            return np.ma.MaskedArray(data, mask) if mask.any() else value.data
+        return value.data
 
     def unique(self, expression, return_inverse=False, dropna=False, dropnan=False,
                dropmissing=False, progress=None, selection=None, axis=None,
@@ -1581,11 +1608,14 @@ class DataFrame:
         return bb.agg(agg)
 
     def join(self, other, on=None, left_on=None, right_on=None, lprefix="", rprefix="",
-             lsuffix="", rsuffix="", how="left", allow_duplication=False, inplace=False):
+             lsuffix="", rsuffix="", how="left", allow_duplication=False, inplace=False,
+             mesh=None):
         from .join import join
+        if mesh is None and getattr(self.executor, "mesh", None) is not None:
+            mesh = self.executor.mesh  # distributed executor: shuffle join
         return join(self, other, on=on, left_on=left_on, right_on=right_on,
                     lprefix=lprefix, rprefix=rprefix, lsuffix=lsuffix, rsuffix=rsuffix,
-                    how=how, allow_duplication=allow_duplication)
+                    how=how, allow_duplication=allow_duplication, mesh=mesh)
 
     # ------------------------------------------------------------- exports
     def to_pandas_df(self, column_names=None, selection=None, strings=True, virtual=True,
@@ -1881,3 +1911,48 @@ def _jsonify(obj):
     if isinstance(obj, np.generic):
         return obj.item()
     return obj
+
+
+# --- device set-build kernels (module-level so the jit compile caches
+# persist across calls; an inline jax.jit would recompile per invocation,
+# 30-60s each through a remote-compile tunnel) ---------------------------
+
+
+@functools.lru_cache(maxsize=None)
+def _sort_and_count_unique_jit():
+    import jax
+    import jax.numpy as jnp
+
+    def f(v):
+        s = jnp.sort(v)
+        flags = jnp.concatenate([jnp.ones(1, bool), s[1:] != s[:-1]])
+        return s, jnp.sum(flags)
+    return jax.jit(f)
+
+
+def _sort_and_count_unique(v):
+    return _sort_and_count_unique_jit()(v)
+
+
+@functools.lru_cache(maxsize=None)
+def _compact_sorted_jit(n_total, keep_counts):
+    import jax
+    import jax.numpy as jnp
+
+    def f(s):
+        # positions of the segment starts in already-sorted data (jnp.unique
+        # would sort a second time; boundary gather is one pass)
+        flags = jnp.concatenate([jnp.ones(1, bool), s[1:] != s[:-1]])
+        starts = jnp.nonzero(flags, size=n_total, fill_value=s.shape[0] - 1)[0]
+        uniq = s[starts]
+        if keep_counts:
+            n = s.shape[0]
+            ends = jnp.concatenate([starts[1:], jnp.full((1,), n, starts.dtype)])
+            return uniq, ends - starts
+        return uniq, jnp.zeros(0, jnp.int64)
+    return jax.jit(f)
+
+
+def _compact_sorted(s, n_total, keep_counts):
+    uniq, counts = _compact_sorted_jit(n_total, keep_counts)(s)
+    return uniq, (counts if keep_counts else None)

@@ -25,11 +25,12 @@ from .array_types import required_dtype_for_max
 
 
 def join(left, right, on=None, left_on=None, right_on=None, lprefix="", rprefix="",
-         lsuffix="", rsuffix="", how="left", allow_duplication=False, inplace=False):
+         lsuffix="", rsuffix="", how="left", allow_duplication=False, inplace=False,
+         mesh=None):
     if how == "right":
         return join(right, left, on=on, left_on=right_on, right_on=left_on,
                     lprefix=rprefix, rprefix=lprefix, lsuffix=rsuffix, rsuffix=lsuffix,
-                    how="left", allow_duplication=allow_duplication)
+                    how="left", allow_duplication=allow_duplication, mesh=mesh)
     if how not in ("left", "inner"):
         raise ValueError(f"how={how!r} not supported (left/right/inner)")
     left_on = str(left_on or on)
@@ -40,24 +41,33 @@ def join(left, right, on=None, left_on=None, right_on=None, lprefix="", rprefix=
     left = left.extract() if left.filtered else left.trim()
     right = right.extract() if right.filtered else right.trim()
 
-    # PASS over right: build the sorted index
-    index = right._index(right_on)
+    lookup = None
+    if mesh is not None and mesh.size > 1:
+        # distributed path: hash-partitioned build+probe over the mesh
+        # (unique right keys; duplicate semantics fall back to the local index)
+        lookup = _mesh_lookup(left, right, left_on, right_on, mesh,
+                              allow_duplication)
 
-    # PASS over left: probe
-    N_left = len(left)
-    left_values = left.evaluate(left_on, array_type="numpy")
-    ldata, lmask = array_types.data_and_mask(left_values)
-    lookup = index.map_index(ldata, mask=lmask)
+    if lookup is None:
+        # PASS over right: build the sorted index
+        index = right._index(right_on)
 
-    extra_left_rows = None
-    if index.has_duplicates:
-        if not allow_duplication:
-            raise ValueError("joining with duplicate keys on the right requires "
-                             "allow_duplication=True")
-        extra_left, extra_right = index.map_index_duplicates(ldata, mask=lmask)
-        if len(extra_left):
-            extra_left_rows = extra_left
-            lookup = np.concatenate([lookup, extra_right])
+        # PASS over left: probe
+        left_values = left.evaluate(left_on, array_type="numpy")
+        ldata, lmask = array_types.data_and_mask(left_values)
+        lookup = index.map_index(ldata, mask=lmask)
+
+        extra_left_rows = None
+        if index.has_duplicates:
+            if not allow_duplication:
+                raise ValueError("joining with duplicate keys on the right requires "
+                                 "allow_duplication=True")
+            extra_left, extra_right = index.map_index_duplicates(ldata, mask=lmask)
+            if len(extra_left):
+                extra_left_rows = extra_left
+                lookup = np.concatenate([lookup, extra_right])
+    else:
+        extra_left_rows = None
 
     if extra_left_rows is not None:
         left_ds = left.dataset.concat(left.dataset.take(extra_left_rows))
@@ -119,3 +129,34 @@ def join(left, right, on=None, left_on=None, right_on=None, lprefix="", rprefix=
     for k, v in right_df.variables.items():
         result.variables.setdefault(k, v)
     return result
+
+
+def _mesh_lookup(left, right, left_on, right_on, mesh, allow_duplication):
+    """Distributed lookup via parallel.join; None -> caller uses the local
+    index (string keys, masked keys, or duplicate rights needing the
+    duplication semantics)."""
+    try:
+        from .datatype import DataType
+        if not DataType(left.data_type(left_on)).numpy.kind in "iuf":
+            return None
+        if not DataType(right.data_type(right_on)).numpy.kind in "iuf":
+            return None
+    except Exception:
+        return None
+    left_values = left.evaluate(left_on, array_type="numpy")
+    right_values = right.evaluate(right_on, array_type="numpy")
+    if isinstance(left_values, np.ma.MaskedArray) or isinstance(right_values, np.ma.MaskedArray):
+        return None
+    from .parallel.join import shuffle_join_lookup
+    lookup, overflow, dups = shuffle_join_lookup(mesh, left_values, right_values)
+    if overflow:
+        lookup, overflow, dups = shuffle_join_lookup(mesh, left_values, right_values,
+                                                     slack=16)
+        if overflow:
+            return None  # extreme skew: local path
+    if dups:
+        if not allow_duplication:
+            raise ValueError("joining with duplicate keys on the right requires "
+                             "allow_duplication=True")
+        return None  # duplication semantics ride the local index path
+    return np.asarray(lookup)

@@ -286,9 +286,16 @@ class TaskEvaluate(Task):
     def finalize(self, state, outputs):
         datas, masks = [], []
         for d, m, v in outputs:
-            d, m, v = np.asarray(d), np.asarray(m), np.asarray(v)
-            datas.append(d[v])
-            masks.append(m[v])
+            d, m = np.asarray(d), np.asarray(m)
+            if self.pre_filter:
+                v = np.asarray(v)
+                datas.append(d[v])
+                masks.append(m[v])
+            else:
+                # valid == the padding mask and the executor already trimmed
+                # padding rows: a boolean gather here would copy for nothing
+                datas.append(d)
+                masks.append(m)
         data = np.concatenate(datas) if datas else np.empty(0)
         mask = np.concatenate(masks) if masks else np.empty(0, bool)
         result = np.ma.MaskedArray(data, mask) if mask.any() else data
