@@ -1,0 +1,73 @@
+"""The whole-pass fast path: device-resident data -> one compiled fori_loop.
+
+Checks the fused path engages (executor.whole_passes), produces the same
+results as the chunked per-tile path, and falls back cleanly when the pass
+needs host staging.
+"""
+
+import numpy as np
+import pytest
+
+import vaex_tpu as vt
+
+
+@pytest.fixture
+def dev_df():
+    rng = np.random.default_rng(7)
+    n = 1000
+    keys = rng.integers(0, 13, n).astype(np.int64)
+    x = rng.random(n)
+    y = rng.integers(-50, 50, n).astype(np.int32)
+    df = vt.from_arrays(k=keys, x=x, y=y).to_device()
+    df._tile_rows = 128  # force many tiles inside the fori_loop
+    return df, keys, x, y
+
+
+def test_wholepass_groupby(dev_df):
+    df, keys, x, y = dev_df
+    res = df.groupby("k", agg={"s": vt.agg.sum("x"), "c": "count"}, sort=True)
+    assert df.executor.whole_passes >= 1
+    expect_c = np.bincount(keys, minlength=13)
+    expect_s = np.bincount(keys, weights=x, minlength=13)
+    assert list(res["c"].tolist()) == expect_c.tolist()
+    np.testing.assert_allclose(np.asarray(res["s"].tolist()), expect_s, rtol=1e-12)
+
+
+def test_wholepass_stats(dev_df):
+    df, keys, x, y = dev_df
+    before = getattr(df.executor, "whole_passes", 0)
+    np.testing.assert_allclose(float(np.asarray(df.sum("x"))), x.sum(), rtol=1e-12)
+    assert int(np.asarray(df.sum("y"))) == int(y.sum())
+    np.testing.assert_allclose(float(np.asarray(df.mean("x"))), x.mean(), rtol=1e-12)
+    assert df.executor.whole_passes > before
+
+
+def test_wholepass_with_filter(dev_df):
+    df, keys, x, y = dev_df
+    dff = df[df.y > 0]
+    got = float(np.asarray(dff.sum("x")))
+    np.testing.assert_allclose(got, x[y > 0].sum(), rtol=1e-12)
+
+
+def test_wholepass_matches_chunked(dev_df):
+    df, keys, x, y = dev_df
+    fast = df.minmax("x")
+    host_df = vt.from_arrays(k=keys, x=x, y=y)
+    host_df._tile_rows = 128
+    slow = host_df.minmax("x")
+    np.testing.assert_array_equal(np.asarray(fast), np.asarray(slow))
+
+
+def test_host_data_does_not_engage_fastpath():
+    rng = np.random.default_rng(3)
+    df = vt.from_arrays(x=rng.random(100))
+    before = getattr(df.executor, "whole_passes", 0)
+    df.sum("x")
+    assert getattr(df.executor, "whole_passes", 0) == before
+
+
+def test_wholepass_trimmed_range(dev_df):
+    df, keys, x, y = dev_df
+    sub = df[100:900]
+    got = float(np.asarray(sub.sum("x")))
+    np.testing.assert_allclose(got, x[100:900].sum(), rtol=1e-12)

@@ -101,6 +101,26 @@ class Dataset(collections.abc.Mapping):
                 return
             yield i1, i2, {name: _slice_column(self._columns[name], i1, i2) for name in columns}
 
+    def device_columns(self, columns):
+        """Whole device-resident columns, or None if any needs host staging.
+
+        The executor uses this to fuse an entire pass into one compiled
+        program (a ``fori_loop`` over tiles) instead of dispatching one step
+        per tile — the TPU analogue of the reference keeping hot data in the
+        page cache (README.md:9-11).  Only nodes that can hand back plain
+        ``jax.Array`` columns participate; anything needing host work
+        (files, takes, filters, concat rechunking) returns None and rides the
+        chunked path.
+        """
+        import jax
+        cols = {}
+        for name in columns:
+            col = self._columns.get(name)
+            if not isinstance(col, jax.Array):
+                return None
+            cols[name] = col
+        return cols
+
     # -- decorators ---------------------------------------------------------
     def renamed(self, renaming: Dict[str, str]) -> "Dataset":
         return DatasetRenamed(self, renaming)
@@ -268,6 +288,12 @@ class DatasetSliced(_Decorator):
             yield i1, i2, chunks
             if n == 0:
                 return
+
+    def device_columns(self, columns):
+        base = self.original.device_columns(columns)
+        if base is None:
+            return None
+        return {name: col[self.start:self.end] for name, col in base.items()}
 
     def _compute_fingerprint(self):
         return fingerprint("dataset-sliced", self.original.fingerprint(), self.start, self.end)

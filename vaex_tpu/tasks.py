@@ -24,6 +24,10 @@ from .delayed import Promise
 class Task(Promise):
     device = True
     see_all = False
+    # scan_safe: update() carries everything in `state` and returns no
+    # per-tile output, so the executor may run the whole pass as one
+    # compiled fori_loop over tiles (execution.py whole-pass fast path)
+    scan_safe = False
 
     def __init__(self, df, expressions, name="task", pre_filter=False):
         super().__init__()
@@ -66,6 +70,8 @@ class TaskAggregations(Task):
     ``subtasks`` is a list of (aggregator-operation, selection) pairs created
     by the agg descriptors in :mod:`vaex_tpu.agg`.
     """
+
+    scan_safe = True
 
     def __init__(self, df, binners):
         exprs = [b.expression for b in binners]
