@@ -22,7 +22,9 @@ import numpy as np
 
 
 def main():
-    N = int(float(os.environ.get("VAEX_TPU_BENCH_N", 1e7)))
+    # 4e8 rows (6.4 GB in HBM) amortizes the fixed ~35 ms tunnel round-trip
+    # per query; the per-row path is identical at any N
+    N = int(float(os.environ.get("VAEX_TPU_BENCH_N", 4e8)))
     K = int(os.environ.get("VAEX_TPU_BENCH_K", 100))
     reps = int(os.environ.get("VAEX_TPU_BENCH_REPS", 5))
 
@@ -47,9 +49,17 @@ def main():
         df = vt.from_arrays(i1=keys_np, x=x_np)
         df = df.to_device()
     df = df.categorize("i1", labels=list(range(K)))
-    # 16M-row tiles measured best through the tunneled chip (fewer dispatches
-    # than 4M, and whole-table tiles hit pathological compile times)
-    df._tile_rows = int(os.environ.get("VAEX_TPU_BENCH_TILE", 0)) or min(1 << 24, max(1 << 16, N))
+    # ~16M-row tiles measured best (whole-table tiles hit pathological
+    # compile times); pick a tile that divides N exactly so the whole-pass
+    # fori_loop path needs no padding copy of the table
+    tile = int(os.environ.get("VAEX_TPU_BENCH_TILE", 0))
+    if not tile:
+        tile = min(1 << 24, max(1 << 16, N))
+        for parts in range(1, 64):
+            if N % parts == 0 and N // parts <= (1 << 24):
+                tile = N // parts
+                break
+    df._tile_rows = tile
 
     def run():
         return df.groupby("i1", agg={"s": vt.agg.sum("x"), "c": "count"}, sort=True)

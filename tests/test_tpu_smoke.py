@@ -34,6 +34,52 @@ def test_flat_kernel_groupby():
                         rtol=1e-7)
 
 
+def test_channel_kernel_exact_int64():
+    """The channel-limb kernel: integer sums exact mod 2^64 (the reference's
+    C++ int64 accumulation semantics, superagg.cpp:350)."""
+    rng = np.random.default_rng(1)
+    n, k = 500_000, 1500
+    keys = rng.integers(0, k, n).astype(np.int64)
+    iv = rng.integers(-(2 ** 62), 2 ** 62, n, dtype=np.int64)
+    df = vt.from_arrays(i1=keys, iv=iv).categorize("i1", labels=list(range(k))).to_device()
+    out = df.groupby("i1", agg={"s": vt.agg.sum("iv")}, sort=True)
+    want = np.zeros(k, np.int64)
+    np.add.at(want, keys, iv)
+    npt.assert_array_equal(np.asarray(out["s"].tolist()), want)
+
+
+def test_channel_kernel_float_precision():
+    """Cancellation-heavy float sums: the channel kernel holds ~1e-8 absolute
+    (the old HIGHEST one-hot kernel drifted to ~3e-4 from in-block f32
+    rounding)."""
+    rng = np.random.default_rng(2)
+    n, k = 500_000, 1500
+    keys = rng.integers(0, k, n).astype(np.int64)
+    v = rng.normal(0, 100, n)
+    df = vt.from_arrays(i1=keys, v=v).categorize("i1", labels=list(range(k))).to_device()
+    out = df.groupby("i1", agg={"s": vt.agg.sum("v")}, sort=True)
+    want = np.bincount(keys, weights=v, minlength=k)
+    npt.assert_allclose(np.asarray(out["s"].tolist()), want, rtol=1e-6, atol=1e-6)
+
+
+def test_channel_kernel_raw():
+    from vaex_tpu.ops.pallas_gridagg import fused_additive_channels
+    import jax
+    import jax.numpy as jnp
+    rng = np.random.default_rng(3)
+    n, G = 300_000, 700
+    idx = rng.integers(0, G, n).astype(np.int32)
+    v = rng.normal(0, 1, n)
+    hi = v.astype(np.float32)
+    lo = (v - hi.astype(np.float64)).astype(np.float32)
+    ones = np.ones(n, np.float32)
+    f = jax.jit(lambda i, c, h, l: fused_additive_channels(i, [c], [(h, l)], G))
+    ss, fs = f(jnp.asarray(idx), jnp.asarray(ones), jnp.asarray(hi), jnp.asarray(lo))
+    npt.assert_array_equal(np.asarray(ss)[0].astype(np.int64), np.bincount(idx, minlength=G))
+    npt.assert_allclose(np.asarray(fs)[0], np.bincount(idx, weights=v, minlength=G),
+                        atol=1e-9, rtol=1e-9)
+
+
 def test_two_level_kernel_groupby():
     rng = np.random.default_rng(0)
     n, k = 1_000_000, 10_000

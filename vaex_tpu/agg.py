@@ -97,6 +97,19 @@ class OpCount(AggOperation):
     def apply_additive(self, state, grid_col):
         return (state[0] + grid_col.astype(state[0].dtype),)
 
+    def kernel_channels(self, ctx):
+        """Channel-limb kernel input: one {0,1} channel (the validity)."""
+        import jax.numpy as jnp
+        valid = self._valid(ctx)
+        if self.expressions:
+            x = ctx.expr(self.expressions[0])
+            valid = gridagg.value_valid(x, valid)
+        return ("static", [valid.astype(jnp.float32)])
+
+    def apply_kernel(self, state, sums):
+        # channel sums <= rows/pass < 2^47: exact in f64
+        return (state[0] + sums[0].astype(state[0].dtype),)
+
 
 class OpSum(AggOperation):
     name = "sum"
@@ -168,6 +181,63 @@ class OpSum(AggOperation):
             delta = jax.lax.bitcast_convert_type(u, jnp.int64).astype(state[0].dtype)
         return (state[0] + delta,)
 
+    def _n_kernel_channels(self):
+        """Signed 8-bit limb count covering the input dtype's range."""
+        dt = DataType(self.dtype_in).device
+        if dt.kind == "b":
+            return 1
+        bits = dt.itemsize * 8
+        if bits >= 64:
+            return 8  # wraps mod 2^64, matching int64/uint64 C++ accumulation
+        return bits // 8 + (1 if dt.kind == "u" else 0)
+
+    def kernel_channels(self, ctx):
+        """Channel-limb kernel inputs (ops/pallas_gridagg.py).
+
+        Integers: signed 8-bit limbs (exact sums mod 2^64); floats: a
+        (hi, lo) f32 pair block-quantized in-kernel to 39-bit fixed point.
+        """
+        import jax
+        import jax.numpy as jnp
+        x = ctx.expr(self.expressions[0])
+        valid = gridagg.value_valid(x, self._valid(ctx))
+        if self._limb_exact():
+            d = x.data
+            if d.dtype == jnp.uint64:
+                r = jax.lax.bitcast_convert_type(d, jnp.int64)
+            else:
+                r = d.astype(jnp.int64)
+            r = jnp.where(valid, r, jnp.int64(0))
+            channels = []
+            for _ in range(self._n_kernel_channels()):
+                s = ((r + 128) & 255) - 128          # limb in [-128, 127]
+                channels.append(s.astype(jnp.float32))
+                r = (r - s) >> 8
+            return ("static", channels)
+        v = jnp.where(valid, x.data, jnp.zeros((), x.data.dtype)).astype(jnp.float64)
+        hi = v.astype(jnp.float32)
+        if DataType(self.dtype_in).device.itemsize <= 4:
+            lo = None  # f32/f16 inputs are exactly representable in hi
+        else:
+            lo = (v - hi.astype(jnp.float64)).astype(jnp.float32)
+        return ("float", [(hi, lo)])
+
+    def apply_kernel(self, state, sums):
+        import jax
+        import jax.numpy as jnp
+        if self._limb_exact():
+            # sums [C, G] f64 signed-limb sums (each exact, |.| <= 128*rows):
+            # reconstruct mod 2^64 in integer arithmetic
+            u = sums[0].astype(jnp.int64)
+            for k in range(1, sums.shape[0]):
+                u = u + (sums[k].astype(jnp.int64) << jnp.int64(8 * k))
+            if state[0].dtype == jnp.uint64:
+                delta = jax.lax.bitcast_convert_type(u, jnp.uint64)
+            else:
+                delta = u.astype(state[0].dtype)
+            return (state[0] + delta,)
+        return (state[0] + sums[0].astype(state[0].dtype),)
+
 
 class OpSumMoment(AggOperation):
     name = "summoment"
@@ -198,6 +268,16 @@ class OpSumMoment(AggOperation):
 
     def apply_additive(self, state, grid_col):
         return (state[0] + grid_col.astype(state[0].dtype),)
+
+    def kernel_channels(self, ctx):
+        import jax.numpy as jnp
+        v = self.additive_column(ctx)
+        hi = v.astype(jnp.float32)
+        lo = (v - hi.astype(jnp.float64)).astype(jnp.float32)
+        return ("float", [(hi, lo)])
+
+    def apply_kernel(self, state, sums):
+        return (state[0] + sums[0].astype(state[0].dtype),)
 
 
 class OpMin(AggOperation):

@@ -132,6 +132,35 @@ class TaskAggregations(Task):
         use_sort_extreme = self.FUSED_EXTREME_MAX_G < G <= self.SORT_MAX_G
 
         additive = [i for i, op in enumerate(self.subtasks) if hasattr(op, "additive_column")]
+
+        # channel-limb kernel (pallas_gridagg.fused_additive_channels): ONE
+        # bf16 MXU pass with exact integer / 39-bit float accumulation —
+        # preferred whenever the flat one-hot fits
+        if additive and pallas_gridagg.is_available() and G <= self.FUSED_ADDITIVE_MAX_G:
+            specs = [getattr(self.subtasks[i], "kernel_channels", lambda c: None)(ctx)
+                     for i in additive]
+            n_ch = sum(len(s[1]) if s and s[0] == "static" else 5 * len(s[1]) if s else 999
+                       for s in specs)
+            if all(s is not None for s in specs) and n_ch <= 120:
+                from .ops.pallas_gridagg import fused_additive_channels
+                static_channels, float_pairs, slots = [], [], []
+                for s in specs:
+                    if s[0] == "static":
+                        slots.append(("static", slice(len(static_channels),
+                                                      len(static_channels) + len(s[1]))))
+                        static_channels.extend(s[1])
+                    else:
+                        slots.append(("float", slice(len(float_pairs),
+                                                     len(float_pairs) + len(s[1]))))
+                        float_pairs.extend(s[1])
+                static_sums, float_sums = fused_additive_channels(
+                    flat, static_channels, float_pairs, G)
+                for i, (kind, sl) in zip(additive, slots):
+                    sums = static_sums[sl] if kind == "static" else float_sums[sl]
+                    new_state[i] = self.subtasks[i].apply_kernel(state[i], sums)
+                    done[i] = True
+                additive = [i for i in additive if not done[i]]
+
         if additive and G <= fused_additive_max:
             cols = jnp.stack([self.subtasks[i].additive_column(ctx) for i in additive], axis=1)
             grids = gridagg.fused_additive(flat, cols, G)
