@@ -222,6 +222,171 @@ TWO_LEVEL_MAX_G = 128 * 1024
 
 
 # ---------------------------------------------------------------------------
+# Two-level channel-limb kernel: same exact-limb scheme as
+# fused_additive_channels but with the grid factored as idx = hi*128 + lo:
+#
+#   out[h, (c, l)] = sum_r oh_hi[r, h] * (oh_lo[r, l] * limb_c[r])
+#
+# ONE dot per block: lhs = transposed hi one-hot [H, B] (iota on sublanes,
+# idx stays lane-major), rhs = [(C*128), B] built as lo-one-hot rows scaled
+# by each limb channel — both operands in their natural layouts, contraction
+# over the lane dim.  MXU work is H*128*C per row instead of the flat
+# kernel's G_pad*128, so this wins for G beyond a few hundred.
+
+TWO_LEVEL_CHANNEL_MIN_G = 512
+
+
+def _channels2_kernel(idx_ref, *rest, n_static, n_float, h_pad, g_pad):
+    refs = rest[:-4]
+    acc_s_ref, err_s_ref, acc_f_ref, err_f_ref = rest[-4:]
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _():
+        acc_s_ref[:] = jnp.zeros_like(acc_s_ref)
+        err_s_ref[:] = jnp.zeros_like(err_s_ref)
+        acc_f_ref[:] = jnp.zeros_like(acc_f_ref)
+        err_f_ref[:] = jnp.zeros_like(err_f_ref)
+
+    idx = idx_ref[:]
+    B = idx.shape[0]
+    hi_digit = idx // LO                                        # drop rows: h_pad-1
+    lo_digit = idx - hi_digit * LO
+    bins_h = jax.lax.broadcasted_iota(jnp.int32, (h_pad, B), 0)
+    oh_hiT = (bins_h == hi_digit[None, :]).astype(jnp.bfloat16)  # [h_pad, B]
+    bins_l = jax.lax.broadcasted_iota(jnp.int32, (LO, B), 0)
+    oh_loT = (bins_l == lo_digit[None, :]).astype(jnp.float32)   # [LO, B]
+
+    static_refs = refs[:n_static]
+    float_refs = refs[n_static:]
+    channels = [r[:] for r in static_refs]
+    scales = []
+    for a in range(n_float):
+        hi = float_refs[2 * a][:]
+        lo = float_refs[2 * a + 1][:]
+        m = jnp.max(jnp.abs(hi))
+        scale = jnp.exp2(jnp.ceil(jnp.log2(jnp.maximum(m, 1e-30))))
+        scale = jnp.maximum(scale, jnp.float32(2.0) ** -100)
+        inv23 = 8388608.0 / scale
+        u = hi * inv23
+        t = jnp.floor(u)
+        d = (u - t) + lo * inv23
+        c = jnp.floor(d)
+        t = t + c
+        l2, l1, l0 = _limbs3(t)
+        w = jnp.floor((d - c) * 65536.0 + 0.5)
+        m1 = w - 256.0 * jnp.floor(w / 256.0)
+        m2 = (w - m1) / 256.0
+        channels.extend([l2, l1, l0, m2, m1])
+        scales.append(scale)
+
+    C = len(channels)
+    # rhs [(c, l), r] = oh_lo[l, r] * limb_c[r]
+    rows = [oh_loT * ch[None, :] for ch in channels]            # C x [LO, B]
+    rhs = jnp.concatenate(rows, axis=0).astype(jnp.bfloat16)    # [C*LO, B]
+    out = jax.lax.dot_general(
+        oh_hiT, rhs, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.DEFAULT)                    # [h_pad, C*LO]
+
+    def accumulate(acc_ref, err_ref, row, x):
+        acc = acc_ref[row, :, :]
+        err = err_ref[row, :, :]
+        h, l = _two_sum(acc, x)
+        e = err + l
+        acc2, err2 = _two_sum(h, e)
+        acc_ref[row, :, :] = acc2
+        err_ref[row, :, :] = err2
+
+    for c in range(n_static):
+        accumulate(acc_s_ref, err_s_ref, c, out[:, c * LO:(c + 1) * LO])
+    base = n_static
+    for a in range(n_float):
+        scale = scales[a]
+        f23 = scale * jnp.float32(2.0) ** -23
+        f39 = scale * jnp.float32(2.0) ** -39
+        factors = (f23 * 65536.0, f23 * 256.0, f23, f39 * 256.0, f39)
+        for k in range(_FLOAT_CHANNELS):
+            col = base + a * _FLOAT_CHANNELS + k
+            accumulate(acc_f_ref, err_f_ref, a * _FLOAT_CHANNELS + k,
+                       factors[k] * out[:, col * LO:(col + 1) * LO])
+
+
+def fused_additive_two_level_channels(idx, static_channels, float_pairs, G,
+                                      block=BLOCK):
+    """Exact channel-limb aggregation for mid-cardinality grids.
+
+    Same contract as :func:`fused_additive_channels`; G up to
+    TWO_LEVEL_MAX_G.  Returns (static_sums [C_s, G], float_sums [A_f, G])
+    in float64.
+    """
+    n_static = len(static_channels)
+    n_float = len(float_pairs)
+    C = n_static + _FLOAT_CHANNELS * n_float
+    H = -(-G // LO)
+    h_pad = max(_round_up(H + 1, 8), 8)                         # +1 drop bucket
+    g_pad = h_pad * LO
+    # VMEM: oh_hiT [h_pad, B] bf16 + rhs [C*LO, B] bf16 + the 4 resident
+    # accumulator blocks [C, h_pad, LO] f32
+    acc_bytes = 2 * (max(n_static, 1) + max(n_float * _FLOAT_CHANNELS, 1)) * g_pad * 4
+    while block * (h_pad + C * LO) * 2 + acc_bytes > (12 << 20) and block > 1024:
+        block //= 2
+    N = idx.shape[0]
+    n_pad = _round_up(max(N, block), block) - N
+
+    def pad(a, fill=0.0):
+        if n_pad == 0:
+            return a
+        return jnp.concatenate([a, jnp.full((n_pad,), fill, a.dtype)])
+
+    drop = (h_pad - 1) * LO
+    idx = jnp.where(idx >= G, drop, idx).astype(jnp.int32)
+    idx = pad(idx, drop)
+    inputs = [idx]
+    for ch in static_channels:
+        inputs.append(pad(ch.astype(jnp.float32)))
+    zeros = None
+    for hi, lo in float_pairs:
+        inputs.append(pad(hi.astype(jnp.float32)))
+        if lo is None:
+            if zeros is None:
+                zeros = jnp.zeros(N + n_pad, jnp.float32)
+            inputs.append(zeros)
+        else:
+            inputs.append(pad(lo.astype(jnp.float32)))
+    nb = inputs[0].shape[0] // block
+
+    # leading dim of a 3-d ref has no sublane constraint (h_pad carries it)
+    cs_pad = max(n_static, 1)
+    af_pad = max(n_float * _FLOAT_CHANNELS, 1)
+    kernel = functools.partial(_channels2_kernel, n_static=n_static,
+                               n_float=n_float, h_pad=h_pad, g_pad=g_pad)
+    with jax.enable_x64(False):
+        acc_s, err_s, acc_f, err_f = pl.pallas_call(
+            kernel,
+            grid=(nb,),
+            in_specs=[pl.BlockSpec((block,), lambda i: (i,))] * len(inputs),
+            out_specs=[pl.BlockSpec((cs_pad, h_pad, LO), lambda i: (0, 0, 0)),
+                       pl.BlockSpec((cs_pad, h_pad, LO), lambda i: (0, 0, 0)),
+                       pl.BlockSpec((af_pad, h_pad, LO), lambda i: (0, 0, 0)),
+                       pl.BlockSpec((af_pad, h_pad, LO), lambda i: (0, 0, 0))],
+            out_shape=[jax.ShapeDtypeStruct((cs_pad, h_pad, LO), jnp.float32),
+                       jax.ShapeDtypeStruct((cs_pad, h_pad, LO), jnp.float32),
+                       jax.ShapeDtypeStruct((af_pad, h_pad, LO), jnp.float32),
+                       jax.ShapeDtypeStruct((af_pad, h_pad, LO), jnp.float32)],
+        )(*inputs)
+    static_sums = (acc_s.astype(jnp.float64)
+                   + err_s.astype(jnp.float64)).reshape(cs_pad, g_pad)[:n_static, :G]
+    float_sums = jnp.zeros((n_float, G), jnp.float64)
+    if n_float:
+        tot = (acc_f.astype(jnp.float64)
+               + err_f.astype(jnp.float64)).reshape(af_pad, g_pad)
+        tot = tot[:n_float * _FLOAT_CHANNELS, :G]
+        float_sums = tot.reshape(n_float, _FLOAT_CHANNELS, G).sum(axis=1)
+    return static_sums, float_sums
+
+
+# ---------------------------------------------------------------------------
 # Channel-limb kernel (v2 of the flat kernel): ONE bf16 MXU pass, exact
 # accumulation.
 #

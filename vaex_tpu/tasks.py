@@ -136,13 +136,15 @@ class TaskAggregations(Task):
         # channel-limb kernel (pallas_gridagg.fused_additive_channels): ONE
         # bf16 MXU pass with exact integer / 39-bit float accumulation —
         # preferred whenever the flat one-hot fits
-        if additive and pallas_gridagg.is_available() and G <= self.FUSED_ADDITIVE_MAX_G:
+        if additive and pallas_gridagg.is_available() and G <= pallas_gridagg.TWO_LEVEL_MAX_G:
             specs = [getattr(self.subtasks[i], "kernel_channels", lambda c: None)(ctx)
                      for i in additive]
             n_ch = sum(len(s[1]) if s and s[0] == "static" else 5 * len(s[1]) if s else 999
                        for s in specs)
             if all(s is not None for s in specs) and n_ch <= 120:
-                from .ops.pallas_gridagg import fused_additive_channels
+                from .ops.pallas_gridagg import (
+                    TWO_LEVEL_CHANNEL_MIN_G, fused_additive_channels,
+                    fused_additive_two_level_channels)
                 static_channels, float_pairs, slots = [], [], []
                 for s in specs:
                     if s[0] == "static":
@@ -153,8 +155,9 @@ class TaskAggregations(Task):
                         slots.append(("float", slice(len(float_pairs),
                                                      len(float_pairs) + len(s[1]))))
                         float_pairs.extend(s[1])
-                static_sums, float_sums = fused_additive_channels(
-                    flat, static_channels, float_pairs, G)
+                kern = (fused_additive_channels if G <= TWO_LEVEL_CHANNEL_MIN_G
+                        else fused_additive_two_level_channels)
+                static_sums, float_sums = kern(flat, static_channels, float_pairs, G)
                 for i, (kind, sl) in zip(additive, slots):
                     sums = static_sums[sl] if kind == "static" else float_sums[sl]
                     new_state[i] = self.subtasks[i].apply_kernel(state[i], sums)
