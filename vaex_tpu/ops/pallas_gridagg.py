@@ -281,9 +281,10 @@ def _channels2_kernel(idx_ref, *rest, n_static, n_float, h_pad, g_pad):
         scales.append(scale)
 
     C = len(channels)
-    # rhs [(c, l), r] = oh_lo[l, r] * limb_c[r]
-    rows = [oh_loT * ch[None, :] for ch in channels]            # C x [LO, B]
-    rhs = jnp.concatenate(rows, axis=0).astype(jnp.bfloat16)    # [C*LO, B]
+    # rhs [(c, l), r] = oh_lo[l, r] * limb_c[r]; every product is 0 or the
+    # limb itself (integer in [-256, 256]) so the bf16 cast is exact
+    rows = [(oh_loT * ch[None, :]).astype(jnp.bfloat16) for ch in channels]
+    rhs = jnp.concatenate(rows, axis=0)                         # [C*LO, B]
     out = jax.lax.dot_general(
         oh_hiT, rhs, (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
@@ -312,6 +313,33 @@ def _channels2_kernel(idx_ref, *rest, n_static, n_float, h_pad, g_pad):
                        factors[k] * out[:, col * LO:(col + 1) * LO])
 
 
+# Mosaic's default scoped-VMEM limit is 16MB; v5e has 128MB physical VMEM,
+# so the mid-cardinality accumulators are allowed to claim most of it.
+_VMEM_BUDGET = 100 << 20
+
+
+def _channels2_vmem(block, h_pad, n_static, n_float):
+    """Conservative VMEM footprint (bytes) of one _channels2_kernel block."""
+    C = n_static + _FLOAT_CHANNELS * n_float
+    cs_pad = max(n_static, 1)
+    af_pad = max(n_float * _FLOAT_CHANNELS, 1)
+    n_inputs = 1 + n_static + 2 * n_float
+    resident = 2 * (cs_pad + af_pad) * h_pad * LO * 4           # acc+err pairs
+    out = h_pad * C * LO * 4                                    # dot result
+    rhs = C * LO * block * 2 + LO * block * 4                   # bf16 rows + f32 oh_lo
+    oh_hi = h_pad * block * 2
+    inputs = n_inputs * block * 4 * 2                           # double-buffered
+    return resident + out + rhs + oh_hi + inputs
+
+
+def two_level_channels_fits(G, n_static, n_float):
+    """True when the channel accumulators + working set fit the VMEM budget
+    at the smallest block size; callers fall back to the sort path if not."""
+    H = -(-G // LO)
+    h_pad = max(_round_up(H + 1, 8), 8)
+    return _channels2_vmem(1024, h_pad, n_static, n_float) <= _VMEM_BUDGET
+
+
 def fused_additive_two_level_channels(idx, static_channels, float_pairs, G,
                                       block=BLOCK):
     """Exact channel-limb aggregation for mid-cardinality grids.
@@ -326,11 +354,11 @@ def fused_additive_two_level_channels(idx, static_channels, float_pairs, G,
     H = -(-G // LO)
     h_pad = max(_round_up(H + 1, 8), 8)                         # +1 drop bucket
     g_pad = h_pad * LO
-    # VMEM: oh_hiT [h_pad, B] bf16 + rhs [C*LO, B] bf16 + the 4 resident
-    # accumulator blocks [C, h_pad, LO] f32
-    acc_bytes = 2 * (max(n_static, 1) + max(n_float * _FLOAT_CHANNELS, 1)) * g_pad * 4
-    while block * (h_pad + C * LO) * 2 + acc_bytes > (12 << 20) and block > 1024:
+    while (_channels2_vmem(block, h_pad, n_static, n_float) > _VMEM_BUDGET
+           and block > 1024):
         block //= 2
+    vmem_limit = min(_channels2_vmem(block, h_pad, n_static, n_float)
+                     + (16 << 20), 120 << 20)
     N = idx.shape[0]
     n_pad = _round_up(max(N, block), block) - N
 
@@ -374,6 +402,7 @@ def fused_additive_two_level_channels(idx, static_channels, float_pairs, G,
                        jax.ShapeDtypeStruct((cs_pad, h_pad, LO), jnp.float32),
                        jax.ShapeDtypeStruct((af_pad, h_pad, LO), jnp.float32),
                        jax.ShapeDtypeStruct((af_pad, h_pad, LO), jnp.float32)],
+            compiler_params=pltpu.CompilerParams(vmem_limit_bytes=vmem_limit),
         )(*inputs)
     static_sums = (acc_s.astype(jnp.float64)
                    + err_s.astype(jnp.float64)).reshape(cs_pad, g_pad)[:n_static, :G]

@@ -157,12 +157,18 @@ class TaskAggregations(Task):
                         float_pairs.extend(s[1])
                 kern = (fused_additive_channels if G <= TWO_LEVEL_CHANNEL_MIN_G
                         else fused_additive_two_level_channels)
-                static_sums, float_sums = kern(flat, static_channels, float_pairs, G)
-                for i, (kind, sl) in zip(additive, slots):
-                    sums = static_sums[sl] if kind == "static" else float_sums[sl]
-                    new_state[i] = self.subtasks[i].apply_kernel(state[i], sums)
-                    done[i] = True
-                additive = [i for i in additive if not done[i]]
+                fits = (G <= TWO_LEVEL_CHANNEL_MIN_G
+                        or pallas_gridagg.two_level_channels_fits(
+                            G, len(static_channels), len(float_pairs)))
+                if fits:
+                    static_sums, float_sums = kern(
+                        flat, static_channels, float_pairs, G)
+                    for i, (kind, sl) in zip(additive, slots):
+                        sums = (static_sums[sl] if kind == "static"
+                                else float_sums[sl])
+                        new_state[i] = self.subtasks[i].apply_kernel(state[i], sums)
+                        done[i] = True
+                    additive = [i for i in additive if not done[i]]
 
         if additive and G <= fused_additive_max:
             cols = jnp.stack([self.subtasks[i].additive_column(ctx) for i in additive], axis=1)
