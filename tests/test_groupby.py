@@ -161,3 +161,65 @@ def test_groupby_string_device_codes_with_null():
     assert keys[:2] == ["a", "b"]
     assert keys[2] is None
     assert dfg["c"].tolist() == [2, 1, 1]
+
+
+def test_groupby_nunique_sorted_pairs(monkeypatch):
+    """Large (cells x values) products ride OpNUniqueSorted (sorted distinct
+    pairs) instead of the presence grid; results must be identical."""
+    import vaex_tpu.agg as agg_module
+    rng = np.random.default_rng(5)
+    n = 20_000
+    g = rng.integers(0, 50, n)
+    v = rng.integers(0, 2_000, n)
+    fv = np.where(rng.random(n) < 0.01, np.nan, v.astype(np.float64))
+    df = vt.from_arrays(g=g, v=v, fv=fv)
+    import pandas as pd
+    pdf = pd.DataFrame({"g": g, "v": v, "fv": fv})
+    want = pdf.groupby("g")["v"].nunique().to_numpy()
+    want_f = pdf.groupby("g")["fv"].apply(lambda s: s.nunique(dropna=False)).to_numpy()
+    want_f_dropnan = pdf.groupby("g")["fv"].nunique().to_numpy()
+
+    out_presence = df.groupby("g", agg={"u": vt.agg.nunique("v")}, sort=True)
+    npt.assert_array_equal(out_presence["u"].tolist(), want)
+
+    monkeypatch.setattr(agg_module, "NUNIQUE_PRESENCE_MAX", 1)
+    from vaex_tpu import cache
+    cache.clear()
+    out_sorted = df.groupby("g", agg={"u": vt.agg.nunique("v")}, sort=True)
+    npt.assert_array_equal(out_sorted["u"].tolist(), want)
+    out_f = df.groupby("g", agg={"u": vt.agg.nunique("fv")}, sort=True)
+    npt.assert_array_equal(out_f["u"].tolist(), want_f)
+    out_fd = df.groupby("g", agg={"u": vt.agg.nunique("fv", dropnan=True)}, sort=True)
+    npt.assert_array_equal(out_fd["u"].tolist(), want_f_dropnan)
+
+    # multi-tile: the sorted-pair state must merge correctly across tiles
+    df._tile_rows = 1024
+    cache.clear()
+    out_tiled = df.groupby("g", agg={"u": vt.agg.nunique("v")}, sort=True)
+    npt.assert_array_equal(out_tiled["u"].tolist(), want)
+
+
+def test_combined_grouper_sorted_category_decode():
+    """Sorted category groupers inside a combined key must decode labels in
+    RAW ordinal order (regression: permuted bin_values gathered with raw
+    ordinals misaligned keys and aggregates)."""
+    import pandas as pd
+    rng = np.random.default_rng(0)
+    n = 5000
+    labels1 = ["zed", "alpha", "mike"]   # unsorted -> sort_indices non-trivial
+    labels2 = ["9", "2", "5", "7"]
+    c1 = rng.integers(0, 3, n)
+    c2 = rng.integers(0, 4, n)
+    v = rng.random(n)
+    df = (vt.from_arrays(a=c1, b=c2, v=v)
+          .categorize("a", labels=labels1).categorize("b", labels=labels2))
+    out = df.groupby(["a", "b"], agg={"s": vt.agg.sum("v")}, sort=True,
+                     assume_sparse=True).to_pandas_df()
+    s1 = np.array(labels1, object)[c1]
+    s2 = np.array(labels2, object)[c2]
+    want = (pd.DataFrame({"a": s1, "b": s2, "v": v})
+            .groupby(["a", "b"], as_index=False)["v"].sum()
+            .sort_values(["a", "b"]).reset_index(drop=True))
+    npt.assert_array_equal(out["a"].to_numpy(), want["a"].to_numpy())
+    npt.assert_array_equal(out["b"].to_numpy(), want["b"].to_numpy())
+    npt.assert_allclose(out["s"].to_numpy(), want["v"].to_numpy(), rtol=1e-9)

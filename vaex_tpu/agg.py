@@ -15,6 +15,8 @@ sum/count/moment grids.
 
 from __future__ import annotations
 
+import builtins
+
 import numpy as np
 
 from .datatype import DataType
@@ -453,6 +455,89 @@ class OpNUniquePresence(AggOperation):
         return counts
 
 
+_PAIR_SENTINEL = np.int64(2**63 - 1)
+
+# presence grids above this byte count switch nunique to the sorted-pair op
+NUNIQUE_PRESENCE_MAX = 1 << 26
+
+
+class OpNUniqueSorted(AggOperation):
+    """nunique for large (cells x values) products: carry the set of distinct
+    (cell, value-ordinal) pairs as one sorted int64 array of static capacity
+    min(row_count, cells*values) — each tile's pairs are merged by
+    sort + adjacent-dedup, so memory is O(distinct pairs), not O(cells*values)
+    like :class:`OpNUniquePresence`.  TPU-native replacement of the per-cell
+    hashmaps in the reference's agg_hash_primitive.cpp:7-62 when the presence
+    grid would not fit."""
+
+    name = "nunique"
+
+    def __init__(self, expressions, ordinal_expression, n_values, row_bound,
+                 dropna=False, dropnan=False, dropmissing=False, **kwargs):
+        super().__init__(expressions, **kwargs)
+        self.ordinal_expression = str(ordinal_expression)
+        self.n_values = int(n_values)
+        self.row_bound = int(row_bound)
+        self.dropnan = dropnan or dropna
+        self.dropmissing = dropmissing or dropna
+        if self.ordinal_expression not in self.expressions:
+            self.expressions.append(self.ordinal_expression)
+
+    def fingerprint(self):
+        return fingerprint(super().fingerprint(), self.ordinal_expression,
+                           self.n_values, self.row_bound, self.dropnan,
+                           self.dropmissing)
+
+    def initial_state(self, G):
+        self._G = int(G)
+        cap = builtins.max(builtins.min(self.row_bound, G * self.n_values), 1)
+        return (np.full(cap, _PAIR_SENTINEL, np.int64),)
+
+    @staticmethod
+    def _dedup_sorted(pairs):
+        import jax.numpy as jnp
+        dup = jnp.concatenate([jnp.zeros(1, bool), pairs[1:] == pairs[:-1]])
+        return jnp.sort(jnp.where(dup, jnp.int64(_PAIR_SENTINEL), pairs))
+
+    def update(self, state, flat_idx, ctx):
+        import jax.numpy as jnp
+        (pairs,) = state
+        codes = ctx.expr(self.ordinal_expression)
+        valid = self._valid(ctx)
+        if codes.mask is not None:
+            valid = valid & ~codes.mask
+        code = codes.data.astype(jnp.int64)
+        valid = valid & (code >= 0) & (code < self.n_values)
+        new = jnp.where(valid, flat_idx.astype(jnp.int64) * self.n_values + code,
+                        jnp.int64(_PAIR_SENTINEL))
+        merged = self._dedup_sorted(jnp.sort(jnp.concatenate([pairs, new])))
+        return (merged[: pairs.shape[0]],)
+
+    def merge(self, state, delta, axis_name):
+        import jax
+        import jax.numpy as jnp
+        (pairs,) = state
+        (dpairs,) = delta
+        gathered = jax.lax.all_gather(dpairs, axis_name).reshape(-1)
+        merged = self._dedup_sorted(jnp.sort(jnp.concatenate([pairs, gathered])))
+        return (merged[: pairs.shape[0]],)
+
+    def get_result(self, state):
+        pairs = np.asarray(state[0])
+        pairs = pairs[pairs != _PAIR_SENTINEL]
+        cells = (pairs // self.n_values).astype(np.int64)
+        counts = np.bincount(cells, minlength=self._G).astype(np.int64)
+        drop_ordinals = []
+        if self.dropnan and getattr(self, "_nan_ordinal", -1) >= 0:
+            drop_ordinals.append(self._nan_ordinal)
+        if self.dropmissing and getattr(self, "_null_ordinal", -1) >= 0:
+            drop_ordinals.append(self._null_ordinal)
+        for o in drop_ordinals:
+            hit = cells[pairs % self.n_values == o]
+            counts -= np.bincount(hit, minlength=self._G).astype(np.int64)
+        return counts
+
+
 # ---------------------------------------------------------------------------
 # descriptors (user facing, reference agg.py:231-288 registry)
 
@@ -624,13 +709,22 @@ class AggregatorDescriptorNUnique(AggregatorDescriptor):
 
     def add_tasks(self, df, binners, progress=None):
         # pass 1: build the value set (synchronous here; executor caches it)
+        from .ops.binners import grid_size
         oset = df._set(self.expression)
         var_name = df.add_variable("set_nunique", oset, unique=True)
         ordinal_expr = f"_ordinal_values({self.expression}, {var_name})"
-        op = OpNUniquePresence([], ordinal_expr, oset.count,
-                               dropna=self.dropna, dropnan=self.dropnan,
-                               dropmissing=self.dropmissing, selection=self.selection,
-                               dtype_in=self._input_dtype(df))
+        G = grid_size(binners) if binners else 1
+        if G * oset.count <= NUNIQUE_PRESENCE_MAX:
+            op = OpNUniquePresence([], ordinal_expr, oset.count,
+                                   dropna=self.dropna, dropnan=self.dropnan,
+                                   dropmissing=self.dropmissing, selection=self.selection,
+                                   dtype_in=self._input_dtype(df))
+        else:
+            # presence grid would not fit: carry distinct (cell, value) pairs
+            op = OpNUniqueSorted([], ordinal_expr, oset.count, len(df),
+                                 dropna=self.dropna, dropnan=self.dropnan,
+                                 dropmissing=self.dropmissing, selection=self.selection,
+                                 dtype_in=self._input_dtype(df))
         op._nan_ordinal = oset.nan_ordinal
         op._null_ordinal = oset.null_ordinal
         task = df.executor.schedule_aggregation(df, binners, op)

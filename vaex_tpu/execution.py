@@ -141,7 +141,9 @@ class ExecutorLocal(Executor):
             if not tasks:
                 break
             try:
-                self._execute_pass(df, tasks)
+                from .utils import trace
+                with trace(f"pass[{','.join(t.name for t in tasks)}]"):
+                    self._execute_pass(df, tasks)
             except Exception as e:
                 for task in tasks:
                     if not task.done:
@@ -228,6 +230,17 @@ class ExecutorLocal(Executor):
             T = round_up(T, self.mesh.size)
         dataset = df.dataset_for_execution()
         n_total = dataset.row_count
+        # huge-grid aggregations ride the sort path, whose per-tile cost is
+        # O(G) regardless of tile size (G-sized searchsorted + state update
+        # per tile); for device-resident data one whole-table tile turns that
+        # into ONE global sort + ONE boundary-gather pass (q10-class groupby:
+        # 25.5s -> one sort)
+        prefs = [t.preferred_tile_rows(n_total) for t in device_tasks]
+        if (prefs and all(p is not None for p in prefs)
+                and not host_tasks and not host_stage_exprs
+                and (self.mesh is None or self.mesh.size <= 1)
+                and dataset.device_columns(sorted(device_columns)) is not None):
+            T = max(T, *prefs)
 
         # initial accumulator state
         states = [t.initial_state() for t in device_tasks]

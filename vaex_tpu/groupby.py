@@ -28,6 +28,7 @@ from .datatype import DataType
 from .expression import Expression
 from .ops.binners import BinnerOrdinal, BinnerScalar
 from .ops.setops import RowLimitException  # noqa: F401  (re-export, reference parity)
+from .utils import trace
 
 _USE_DELAY = True
 
@@ -52,6 +53,7 @@ class Grouper:
         self.ordinal_expression = self.binby_expression
         self.binner = BinnerOrdinal(self.binby_expression, 0, self.N)
         self.sort_indices = None
+        self.bin_values_raw = self.bin_values
         if sort and not ascending:
             self.sort_indices = np.arange(self.N)[::-1]
             self.bin_values = self.bin_values[::-1]
@@ -79,6 +81,7 @@ class GrouperDense:
                                    if self.lo else f"astype({self.expression}, 'int64')")
         self.binner = BinnerOrdinal(self.expression, self.lo, self.N)
         self.sort_indices = None
+        self.bin_values_raw = self.bin_values
         if sort and not ascending:
             self.sort_indices = np.arange(self.N)[::-1]
             self.bin_values = self.bin_values[::-1]
@@ -114,6 +117,7 @@ class GrouperCategory:
                                    if self.min_value else f"astype({binby_expression}, 'int64')")
         self.binner = BinnerOrdinal(self.binby_expression, self.min_value, self.N)
         self.sort_indices = None
+        self.bin_values_raw = self.bin_values
         if sort:
             bv = self.bin_values
             if bv.dtype == object:  # null labels sort last (arrow order)
@@ -148,8 +152,9 @@ class GrouperCombined:
         # product and the row count; passing it skips useless probe rungs
         product = float(np.prod([max(g.N, 1) for g in groupers], dtype=np.float64))
         expected = int(min(product, len(df)))
-        self.set = df._set(self.expression, limit=row_limit,
-                           expected_cardinality=expected)
+        with trace("grouper-combined set build"):
+            self.set = df._set(self.expression, limit=row_limit,
+                               expected_cardinality=expected)
         self.N = self.set.n_keys
         var = df.add_variable("grouper_set", self.set, unique=True)
         self.binby_expression = f"_ordinal_values({self.expression}, {var})"
@@ -158,6 +163,8 @@ class GrouperCombined:
         # decode fused keys back into per-key bin values (groupby.py:186-213)
         # progressively: one floor-divide per key (no mod), dense groupers
         # translate ordinals by an offset instead of gathering bin_values
+        t_decode = trace("grouper-combined decode")
+        t_decode.__enter__()
         rem = self.set.keys.astype(np.int64)
         self.bin_values_per_key = []
         for g, m in zip(groupers, multipliers):
@@ -167,8 +174,10 @@ class GrouperCombined:
             if getattr(g, "dense", False):
                 self.bin_values_per_key.append(ordinals + g.lo)
             else:
-                self.bin_values_per_key.append(_take_bin_values(g.bin_values, ordinals))
+                bv = getattr(g, "bin_values_raw", g.bin_values)
+                self.bin_values_per_key.append(_take_bin_values(bv, ordinals))
         self.bin_values = None
+        t_decode.__exit__(None, None, None)
 
 
 def _take_bin_values(bin_values, ordinals):
@@ -287,9 +296,11 @@ class GroupByBase:
                                              GrouperDense, BinnerTime))
                        and not self.df.is_category(str(b) if not isinstance(b, Expression)
                                                    else b.expression)]
-        dense_info = _dense_candidates(plain_names, self.df, row_limit)
+        with trace("dense-candidates pre-pass"):
+            dense_info = _dense_candidates(plain_names, self.df, row_limit)
         for b, asc in zip(by, ascending_list):
-            g = _make_grouper(b, self.df, sort, asc, row_limit, dense_info=dense_info)
+            with trace(f"grouper[{b}]"):
+                g = _make_grouper(b, self.df, sort, asc, row_limit, dense_info=dense_info)
             groupers.append(g)
             self.by_names.append(_grouper_output_name(g))
         self.combined = None
@@ -385,7 +396,8 @@ class GroupBy(GroupByBase):
             desc.edges = True
             [p] = desc.add_tasks(self.df, self.binners)
             promises.append((name, desc, p))
-        self.df.execute()
+        with trace("groupby agg pass (execute)"):
+            self.df.execute()
 
         grids = {}
         counts = None
@@ -399,7 +411,8 @@ class GroupBy(GroupByBase):
         if counts is None and count_promise is not None:
             counts = agg_module.extract_central(np.asarray(count_promise.get()), ndim)
 
-        return self._assemble(grids, counts)
+        with trace("groupby assemble"):
+            return self._assemble(grids, counts)
 
     def _assemble(self, grids, counts):
         from . import from_dict

@@ -45,6 +45,11 @@ class Task(Promise):
         return None
 
     # -- device protocol ----------------------------------------------------
+    def preferred_tile_rows(self, n_total):
+        """Optional tile-size preference; the executor honors it only when
+        every task in the pass agrees and the data is device-resident."""
+        return None
+
     def initial_state(self):
         raise NotImplementedError
 
@@ -114,6 +119,15 @@ class TaskAggregations(Task):
     FUSED_ADDITIVE_MAX_G = 2048
     FUSED_EXTREME_MAX_G = 512
     SORT_MAX_G = 1 << 24
+    # grids past this always ride the sort path, where one whole-table tile
+    # beats any tiling (per-tile cost is O(G), not O(tile))
+    WHOLE_TILE_MIN_G = 1 << 21
+
+    def preferred_tile_rows(self, n_total):
+        from .ops.binners import grid_size
+        if grid_size(self.binners) > self.WHOLE_TILE_MIN_G:
+            return n_total
+        return None
 
     def update(self, state, ctx):
         import jax.numpy as jnp

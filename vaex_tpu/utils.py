@@ -120,3 +120,27 @@ class Signal:
 
     def emit(self, *args, **kwargs):
         return [cb(*args, **kwargs) for cb in self.callbacks]
+
+
+import contextlib as _contextlib
+import os as _os
+import sys as _sys
+import time as _time
+
+TRACE = _os.environ.get("VAEX_TPU_TRACE", "") not in ("", "0")
+
+
+@_contextlib.contextmanager
+def trace(name):
+    """Env-gated stage tracing (VAEX_TPU_TRACE=1): prints wall time of the
+    wrapped block to stderr.  The TPU-native stand-in for the reference's
+    progressbar tree (vaex/misc/progressbar.py) when profiling headless."""
+    if not TRACE:
+        yield
+        return
+    t0 = _time.perf_counter()
+    try:
+        yield
+    finally:
+        print(f"[trace] {name}: {(_time.perf_counter() - t0)*1e3:.1f} ms",
+              file=_sys.stderr, flush=True)
