@@ -223,3 +223,44 @@ def test_combined_grouper_sorted_category_decode():
     npt.assert_array_equal(out["a"].to_numpy(), want["a"].to_numpy())
     npt.assert_array_equal(out["b"].to_numpy(), want["b"].to_numpy())
     npt.assert_allclose(out["s"].to_numpy(), want["v"].to_numpy(), rtol=1e-9)
+
+
+def test_groupby_dense_rank_strategy():
+    """Set-based groupers with mid/high cardinality ride the dense-rank sort
+    strategy (raw-key sort, no ordinal probe); exactness and edge semantics
+    must match the generic paths."""
+    import pandas as pd
+    rng = np.random.default_rng(9)
+    n, k = 60_000, 5_000     # G=5000 > CPU kernel max 2048 -> sort regime
+    # sparse negative keys: span > DENSE_RANGE_MAX forces the set-based
+    # grouper whose binner carries dense_rank=True
+    keys = rng.integers(-1000, k, n) * 1009
+    iv = rng.integers(-2**62, 2**62, n, dtype=np.int64)
+    fv = rng.normal(0, 100, n)
+    df = vt.from_arrays(g=keys, iv=iv, fv=fv)
+    out = df.groupby("g", agg={"s": vt.agg.sum("iv"), "f": vt.agg.sum("fv"),
+                               "mn": vt.agg.min("fv"), "mx": vt.agg.max("fv"),
+                               "m": vt.agg.mean("fv"), "c": "count"}, sort=True)
+    pdf = pd.DataFrame({"g": keys, "iv": iv, "fv": fv})
+    want = pdf.groupby("g").agg(s=("iv", "sum"), f=("fv", "sum"), mn=("fv", "min"),
+                                mx=("fv", "max"), m=("fv", "mean"), c=("fv", "size"))
+    npt.assert_array_equal(out["g"].tolist(), want.index.to_numpy())
+    npt.assert_array_equal(np.asarray(out["s"].tolist()), want["s"].to_numpy())
+    npt.assert_array_equal(out["c"].tolist(), want["c"].to_numpy())
+    npt.assert_allclose(out["f"].tolist(), want["f"].to_numpy(), rtol=1e-9)
+    npt.assert_allclose(out["mn"].tolist(), want["mn"].to_numpy())
+    npt.assert_allclose(out["mx"].tolist(), want["mx"].to_numpy())
+    npt.assert_allclose(out["m"].tolist(), want["m"].to_numpy(), rtol=1e-9)
+
+    # with a filter: invalid rows sort past every real segment
+    dff = df[df["fv"] > 0]
+    outf = dff.groupby("g", agg={"c": "count", "f": vt.agg.sum("fv")}, sort=True)
+    wantf = pdf[pdf.fv > 0].groupby("g").agg(c=("fv", "size"), f=("fv", "sum"))
+    npt.assert_array_equal(outf["g"].tolist(), wantf.index.to_numpy())
+    npt.assert_array_equal(outf["c"].tolist(), wantf["c"].to_numpy())
+    npt.assert_allclose(outf["f"].tolist(), wantf["f"].to_numpy(), rtol=1e-9)
+
+    # with a selection on one agg
+    outs = df.groupby("g", agg={"cs": vt.agg.count(selection="fv > 0")}, sort=True)
+    wants = pdf.assign(p=pdf.fv > 0).groupby("g")["p"].sum()
+    npt.assert_array_equal(outs["cs"].tolist(), wants.to_numpy())

@@ -196,3 +196,45 @@ class ColumnConcatenated(Column):
         if not parts:
             return np.empty(0, dtype=DataType(self.dtype).numpy if not DataType(self.dtype).is_arrow else object)
         return array_types.concat(parts)
+
+
+class ColumnDeviceDictionary(Column):
+    """String column as device-resident int32 codes + small host label list.
+
+    Used by GrouperCombined's decode: the 1e7-group fused-key split stays in
+    HBM and the arrow DictionaryArray is materialized only when the column is
+    actually read (D2H through a tunneled chip costs seconds per 100MB; the
+    reference eagerly gathers materialized strings, groupby.py:186-213).
+    """
+
+    def __init__(self, codes, labels):
+        self.codes = codes          # jnp int32 [N] (or numpy)
+        self.labels = list(labels)
+        import pyarrow as pa
+        self._labels_arrow = pa.array(self.labels, type=pa.large_string())
+
+    def __len__(self):
+        return int(self.codes.shape[0])
+
+    @property
+    def dtype(self):
+        import pyarrow as pa
+        from .datatype import DataType
+        return DataType(pa.dictionary(pa.int32(), pa.large_string()))
+
+    def __getitem__(self, item):
+        import numpy as np
+        import pyarrow as pa
+        codes = self.codes[item]
+        host = np.asarray(codes)
+        return pa.DictionaryArray.from_arrays(pa.array(host), self._labels_arrow)
+
+    def trim(self, i1, i2):
+        return ColumnDeviceDictionary(self.codes[i1:i2], self.labels)
+
+    def fingerprint(self):
+        from .utils import fingerprint
+        import numpy as np
+        head = np.asarray(self.codes[: min(1024, len(self))])
+        return fingerprint("device-dict", head.tobytes(), tuple(self.labels[:64]),
+                           len(self), len(self.labels))

@@ -1214,18 +1214,25 @@ class DataFrame:
                 f"set grew to {n_total} unique values, which exceeds the limit of {limit}")
 
         uniq, counts = _compact_sorted(s, n_total, keep_counts)
-        uniq_np = np.asarray(uniq)[:n_uniq]
-        oset = SortedSet(uniq_np.dtype, keep_counts=keep_counts, limit=limit)
-        oset.keys = uniq_np
+        oset = SortedSet(np.dtype(data.dtype), keep_counts=keep_counts, limit=limit)
         if keep_counts:
             counts_np = np.asarray(counts).astype(np.int64)
             if nan_count:  # the NaN->inf slot sits last; its count is nan_count
                 counts_np = counts_np[:n_uniq]
             oset.counts = counts_np
         oset.nan_count = nan_count
-        # keys already live on the device: probes in later passes reuse them
-        # instead of re-uploading (GrouperCombined's 1e7-key fused sets)
+        # keys stay on the device (probes in later passes reuse them, and the
+        # tunneled D2H of 1e7 keys costs seconds); the host copy is lazy
         oset._device_keys = uniq[:n_uniq] if n_uniq != n_total else uniq
+        oset._keys = None
+        oset._n_keys_device = n_uniq
+        # cheap device fingerprint: head/tail samples + counts (a full-key
+        # hash would force the D2H copy this laziness exists to avoid)
+        head = np.asarray(uniq[:256])
+        tail = np.asarray(uniq[max(n_uniq - 256, 0):n_uniq])
+        oset._fingerprint = fingerprint(
+            "sorted-set-device", head.tobytes(), tail.tobytes(), n_uniq,
+            nan_count, str(data.dtype))
         return oset
 
     def _evaluate_device_whole(self, expression):

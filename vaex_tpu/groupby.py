@@ -51,7 +51,9 @@ class Grouper:
         var = df.add_variable("grouper_set", self.set, unique=True)
         self.binby_expression = f"_ordinal_values({self.expression}, {var})"
         self.ordinal_expression = self.binby_expression
-        self.binner = BinnerOrdinal(self.binby_expression, 0, self.N)
+        # set bins == ranks of the observed keys: dense-rank strategy applies
+        self.binner = BinnerOrdinal(self.binby_expression, 0, self.N,
+                                    raw_expression=self.expression, dense_rank=True)
         self.sort_indices = None
         self.bin_values_raw = self.bin_values
         if sort and not ascending:
@@ -158,26 +160,76 @@ class GrouperCombined:
         self.N = self.set.n_keys
         var = df.add_variable("grouper_set", self.set, unique=True)
         self.binby_expression = f"_ordinal_values({self.expression}, {var})"
-        self.binner = BinnerOrdinal(self.binby_expression, 0, self.N)
+        self.binner = BinnerOrdinal(self.binby_expression, 0, self.N,
+                                    raw_expression=self.expression, dense_rank=True)
         self.sort_indices = None
         # decode fused keys back into per-key bin values (groupby.py:186-213)
         # progressively: one floor-divide per key (no mod), dense groupers
         # translate ordinals by an offset instead of gathering bin_values
         t_decode = trace("grouper-combined decode")
         t_decode.__enter__()
-        rem = self.set.keys.astype(np.int64)
+        ordinals_per_key, on_device = self._decode_ordinals(multipliers)
         self.bin_values_per_key = []
-        for g, m in zip(groupers, multipliers):
+        for g, ordinals in zip(groupers, ordinals_per_key):
+            if getattr(g, "dense", False):
+                # device ordinals stay device-resident output columns
+                self.bin_values_per_key.append(
+                    (ordinals.astype("int64") + g.lo) if on_device
+                    else ordinals.astype(np.int64) + g.lo)
+                continue
+            bv = getattr(g, "bin_values_raw", g.bin_values)
+            labels = _string_labels(bv)
+            if labels is not None:
+                # string labels stay dictionary-encoded: no 1e7-element
+                # object-array gather (reference materializes strings,
+                # groupby.py:186-213); with device ordinals the codes never
+                # leave HBM until the column is read (ColumnDeviceDictionary)
+                from .column import ColumnDeviceDictionary
+                self.bin_values_per_key.append(ColumnDeviceDictionary(ordinals, labels))
+                continue
+            host_ordinals = np.asarray(ordinals) if on_device else ordinals
+            self.bin_values_per_key.append(_take_bin_values(bv, host_ordinals))
+        self.bin_values = None
+        t_decode.__exit__(None, None, None)
+
+    def _decode_ordinals(self, multipliers):
+        """Split the fused keys back into per-grouper ordinals — on device
+        when the set keys already live in HBM (tunneled D2H costs seconds per
+        100MB, so the split results stay device-resident; returns
+        (ordinals_per_key, on_device))."""
+        dev = getattr(self.set, "_device_keys", None)
+        if dev is not None:
+            import jax.numpy as jnp
+            rem = dev.astype(jnp.int64)
+            outs = []
+            for g, m in zip(self.groupers, multipliers):
+                ordinals = rem // int(m) if m != 1 else rem
+                if m != 1:
+                    rem = rem - ordinals * int(m)
+                outs.append(ordinals.astype(jnp.int32))
+            return outs, True
+        rem = self.set.keys.astype(np.int64)
+        outs = []
+        for g, m in zip(self.groupers, multipliers):
             ordinals = rem // m if m != 1 else rem
             if m != 1:
                 rem = rem - ordinals * m
-            if getattr(g, "dense", False):
-                self.bin_values_per_key.append(ordinals + g.lo)
-            else:
-                bv = getattr(g, "bin_values_raw", g.bin_values)
-                self.bin_values_per_key.append(_take_bin_values(bv, ordinals))
-        self.bin_values = None
-        t_decode.__exit__(None, None, None)
+            outs.append(ordinals)
+        return outs, False
+
+
+def _string_labels(bin_values):
+    """The label list when every bin value is a string (or None), else None."""
+    if isinstance(bin_values, np.ma.MaskedArray):
+        return None
+    arr = np.asarray(bin_values)
+    if arr.dtype.kind == "U":
+        return list(arr)
+    if arr.dtype.kind == "O":
+        vals = list(arr)
+        if all(v is None or isinstance(v, str) for v in vals):
+            return vals
+    return None
 
 
 def _take_bin_values(bin_values, ordinals):
@@ -382,7 +434,7 @@ class GroupBy(GroupByBase):
         parsed = self._parse_actions(actions)
         promises = []
         has_count_star = any(desc.name == "count" and desc.expression in (None, "*")
-                             for _, desc in parsed)
+                             and desc.selection is None for _, desc in parsed)
         count_promise = None
         # the count grid exists to drop never-observed cells; a combined
         # grouper's cells are exactly the observed combinations and a plain
@@ -406,7 +458,8 @@ class GroupBy(GroupByBase):
             grid = np.asarray(p.get())
             grid = agg_module.extract_central(grid, ndim)
             grids[name] = grid
-            if desc.name == "count" and desc.expression in (None, "*"):
+            if (desc.name == "count" and desc.expression in (None, "*")
+                    and desc.selection is None):
                 counts = grid
         if counts is None and count_promise is not None:
             counts = agg_module.extract_central(np.asarray(count_promise.get()), ndim)

@@ -69,10 +69,16 @@ class BinnerOrdinal:
     """Integer/categorical binner: ``index = value - min_value + 2``
     (superagg_binners.cpp:95-184)."""
 
-    def __init__(self, expression, min_value, count):
+    def __init__(self, expression, min_value, count, raw_expression=None,
+                 dense_rank=False):
         self.expression = str(expression)
         self.min_value = int(min_value)
         self.count = int(count)
+        # dense_rank: the data bins are exactly the ranks of the observed
+        # values of ``raw_expression`` (set-based groupers) — enables the
+        # dense-rank sort strategy (no ordinal probe, no boundary search)
+        self.raw_expression = str(raw_expression) if raw_expression else None
+        self.dense_rank = bool(dense_rank)
 
     @property
     def bins(self):

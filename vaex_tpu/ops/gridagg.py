@@ -328,3 +328,58 @@ def max_identity(dtype):
     if dtype.kind == "f":
         return -np.inf
     return np.iinfo(dtype).min
+
+
+# ---------------------------------------------------------------------------
+# Dense-rank sort strategy: set-based groupers guarantee that the grid's data
+# bins are exactly the ranks of the observed key values, so ONE carried sort
+# of the RAW key replaces both the ordinal probe (searchsorted of N keys in
+# the set: 1.8 s at 1e7x1e7 on v5e) and the per-bin boundary searchsorted of
+# the generic sort path (3.5 s) — boundaries come from neighbor-compare flags
+# and a single nonzero().  Invalid rows (padding, filter, selection) must
+# arrive with key == dtype-max and identity values: they sort past every real
+# segment and can never corrupt one.
+
+
+def segment_ends(sorted_key, n_bins):
+    """Row index of each of the first ``n_bins`` segment ends."""
+    import jax
+    N = sorted_key.shape[0]
+    end_flag = jnp.concatenate([sorted_key[1:] != sorted_key[:-1],
+                                jnp.ones(1, bool)])
+    return jnp.nonzero(end_flag, size=n_bins, fill_value=N - 1)[0]
+
+
+def dense_rank_additive(key, cols, n_bins):
+    """key [N] int (invalid rows = dtype max), cols [N, A] f64 (invalid rows
+    = 0) -> ([n_bins, A] segment sums in key-rank order, ends [n_bins]).
+
+    Exactness matches the generic sort path: f64 cumsum differences (exact
+    for the <= 2^46 integer limb columns; ~eps*N/segment cancellation for
+    floats)."""
+    import jax
+    N, A = cols.shape
+    out = jax.lax.sort((key,) + tuple(cols[:, a] for a in range(A)), num_keys=1)
+    ends = segment_ends(out[0], n_bins)
+    sums = []
+    for a in range(A):
+        # associative_scan, not jnp.cumsum: the reduce-window lowering of an
+        # emulated-f64 cumsum blows the 16MB scoped-VMEM limit at N=1e7
+        upper = jax.lax.associative_scan(jnp.add, out[1 + a])[ends]
+        sums.append(jnp.diff(upper, prepend=jnp.zeros(1, upper.dtype)))
+    return jnp.stack(sums, axis=1), ends
+
+
+def dense_rank_extreme(key, col, n_bins, mode, ends=None):
+    """Per-segment min/max via one (key, value) lex sort + boundary gather.
+
+    Invalid rows must carry the identity fill (+inf for min / -inf for max):
+    they sort to the harmless side of their segment."""
+    import jax
+    skey, scol = jax.lax.sort((key, col), num_keys=2)
+    if ends is None:
+        ends = segment_ends(skey, n_bins)
+    if mode == "min":
+        starts = jnp.concatenate([jnp.zeros(1, ends.dtype), ends[:-1] + 1])
+        return scol[starts], ends
+    return scol[ends], ends

@@ -93,7 +93,8 @@ class SortedSet:
     def __init__(self, dtype, keep_counts=False, limit=None):
         self.dtype = np.dtype(dtype) if not isinstance(dtype, str) or dtype != "string" else dtype
         self.is_string = dtype == "string" or (isinstance(self.dtype, np.dtype) and self.dtype.kind in "OUS")
-        self.keys = np.empty(0, dtype=object if self.is_string else self.dtype)
+        self._keys = np.empty(0, dtype=object if self.is_string else self.dtype)
+        self._n_keys_device = None  # device-built sets defer the D2H copy
         self.keep_counts = keep_counts
         self.counts = np.empty(0, dtype=np.int64) if keep_counts else None
         self.nan_count = 0
@@ -167,7 +168,22 @@ class SortedSet:
         return self.null_count > 0
 
     @property
+    def keys(self):
+        # device-built sets keep keys in HBM; the host copy (a multi-second
+        # D2H through a tunneled chip at 1e7 keys) happens on first access
+        if self._keys is None and self._device_keys is not None:
+            self._keys = np.asarray(self._device_keys)
+        return self._keys
+
+    @keys.setter
+    def keys(self, value):
+        self._keys = value
+        self._n_keys_device = None
+
+    @property
     def n_keys(self):
+        if self._keys is None and self._n_keys_device is not None:
+            return self._n_keys_device
         return len(self.keys)
 
     @property

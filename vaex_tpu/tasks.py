@@ -133,10 +133,18 @@ class TaskAggregations(Task):
         import jax.numpy as jnp
         from .ops import gridagg
         from .ops.binners import grid_size
-        flat = self._flat_indices(ctx)
         G = grid_size(self.binners)
         new_state = list(state)
         done = [False] * len(self.subtasks)
+
+        # the ordinal probe (searchsorted of every row's key in the set) is
+        # skipped entirely by the dense-rank strategy below — compute lazily
+        _flat = [None]
+
+        def flat_of():
+            if _flat[0] is None:
+                _flat[0] = self._flat_indices(ctx)
+            return _flat[0]
 
         from .ops import pallas_gridagg
         fused_additive_max = self.FUSED_ADDITIVE_MAX_G
@@ -146,6 +154,65 @@ class TaskAggregations(Task):
         use_sort_extreme = self.FUSED_EXTREME_MAX_G < G <= self.SORT_MAX_G
 
         additive = [i for i, op in enumerate(self.subtasks) if hasattr(op, "additive_column")]
+
+        # dense-rank sort strategy (set-based groupers, mid/high G): ONE
+        # carried sort of the RAW key replaces the ordinal probe AND the
+        # per-bin boundary searches (ops/gridagg.py dense_rank_additive)
+        binner = self.binners[0] if len(self.binners) == 1 else None
+        if (binner is not None and getattr(binner, "dense_rank", False)
+                and (use_sort_additive or use_sort_extreme)
+                and not getattr(ctx, "spmd_shard", False)
+                # every bin observed holds for the WHOLE pass, not per tile
+                and ctx.n_rows >= self.df.dataset_for_execution().row_count):
+            key_na = ctx.expr(binner.raw_expression)
+            if (key_na.mask is None
+                    and jnp.issubdtype(key_na.data.dtype, jnp.integer)):
+                kd = key_na.data
+                key = jnp.where(ctx.row_valid, kd,
+                                jnp.asarray(jnp.iinfo(kd.dtype).max, kd.dtype))
+                nb = binner.count
+                ends = None
+                if additive and use_sort_additive:
+                    col_specs, col_list = [], []
+                    for i in additive:
+                        op = self.subtasks[i]
+                        exact_cols = (op.additive_columns_exact(ctx)
+                                      if hasattr(op, "additive_columns_exact") else None)
+                        if exact_cols is not None:
+                            col_specs.append((i, len(exact_cols), True))
+                            col_list.extend(exact_cols)
+                        else:
+                            col_specs.append((i, 1, False))
+                            col_list.append(op.additive_column(ctx))
+                    cols = jnp.stack(col_list, axis=1)
+                    sums, ends = gridagg.dense_rank_additive(key, cols, nb)
+                    # +3 edge layout: data bins start at 2, edges stay 0
+                    grids = jnp.pad(sums, ((2, 1), (0, 0)))
+                    pos = 0
+                    for i, ncols, exact in col_specs:
+                        if exact:
+                            new_state[i] = self.subtasks[i].apply_additive_exact(
+                                state[i], grids[:, pos:pos + ncols])
+                        else:
+                            new_state[i] = self.subtasks[i].apply_additive(
+                                state[i], grids[:, pos])
+                        pos += ncols
+                        done[i] = True
+                    additive = []
+                if use_sort_extreme:
+                    for mode in ("min", "max"):
+                        for i, op in enumerate(self.subtasks):
+                            if getattr(op, "extreme_mode", None) != mode or done[i]:
+                                continue
+                            col = op.extreme_column(ctx)
+                            vals, ends = gridagg.dense_rank_extreme(
+                                key, col, nb, mode, ends=ends)
+                            fill = (gridagg.min_identity(col.dtype) if mode == "min"
+                                    else gridagg.max_identity(col.dtype))
+                            grid_col = jnp.pad(vals, (2, 1),
+                                               constant_values=jnp.asarray(fill, col.dtype))
+                            new_state[i] = op.apply_extreme(state[i], grid_col)
+                            done[i] = True
 
         # channel-limb kernel (pallas_gridagg.fused_additive_channels): ONE
         # bf16 MXU pass with exact integer / 39-bit float accumulation —
@@ -176,7 +243,7 @@ class TaskAggregations(Task):
                             G, len(static_channels), len(float_pairs)))
                 if fits:
                     static_sums, float_sums = kern(
-                        flat, static_channels, float_pairs, G)
+                        flat_of(), static_channels, float_pairs, G)
                     for i, (kind, sl) in zip(additive, slots):
                         sums = (static_sums[sl] if kind == "static"
                                 else float_sums[sl])
@@ -186,7 +253,7 @@ class TaskAggregations(Task):
 
         if additive and G <= fused_additive_max:
             cols = jnp.stack([self.subtasks[i].additive_column(ctx) for i in additive], axis=1)
-            grids = gridagg.fused_additive(flat, cols, G)
+            grids = gridagg.fused_additive(flat_of(), cols, G)
             for k, i in enumerate(additive):
                 new_state[i] = self.subtasks[i].apply_additive(state[i], grids[:, k])
                 done[i] = True
@@ -204,7 +271,7 @@ class TaskAggregations(Task):
                     col_specs.append((i, 1, False))
                     col_list.append(op.additive_column(ctx))
             cols = jnp.stack(col_list, axis=1)
-            sorted_idx, sorted_cols = gridagg.sort_carry(flat, cols)
+            sorted_idx, sorted_cols = gridagg.sort_carry(flat_of(), cols)
             grids = gridagg.sorted_additive(sorted_idx, sorted_cols, G)
             pos = 0
             for i, ncols, exact in col_specs:
@@ -228,7 +295,7 @@ class TaskAggregations(Task):
                     by_dtype.setdefault(col.dtype, []).append((i, col))
                 for dtype, items in by_dtype.items():
                     cols = jnp.stack([c for _, c in items], axis=1)
-                    grids = gridagg.fused_extreme(flat, cols, G, mode)
+                    grids = gridagg.fused_extreme(flat_of(), cols, G, mode)
                     for k, (i, _) in enumerate(items):
                         new_state[i] = self.subtasks[i].apply_extreme(state[i], grids[:, k])
                         done[i] = True
@@ -237,13 +304,13 @@ class TaskAggregations(Task):
                 # argsort + gathers + associative scan by ~6x on TPU
                 for i in group:
                     col = self.subtasks[i].extreme_column(ctx)
-                    grid_col = gridagg.extreme_lex(flat, col, G, mode)
+                    grid_col = gridagg.extreme_lex(flat_of(), col, G, mode)
                     new_state[i] = self.subtasks[i].apply_extreme(state[i], grid_col)
                     done[i] = True
 
         for i, op in enumerate(self.subtasks):
             if not done[i]:
-                new_state[i] = op.update(state[i], flat, ctx)
+                new_state[i] = op.update(state[i], flat_of(), ctx)
         return new_state, None
 
     def update_spmd(self, state, ctx, axis_name):
@@ -256,6 +323,9 @@ class TaskAggregations(Task):
         from .ops.binners import grid_size
         G = grid_size(self.binners)
         zeros = [tuple(jnp.asarray(z) for z in op.initial_state(G)) for op in self.subtasks]
+        # each device sees only its row shard: the dense-rank strategy's
+        # every-bin-observed invariant does not hold per shard
+        ctx.spmd_shard = True
         deltas, _ = self.update(zeros, ctx)
         new_state = [tuple(op.merge(tuple(s), tuple(d), axis_name))
                      for op, s, d in zip(self.subtasks, state, deltas)]
