@@ -445,7 +445,8 @@ class ExecutorLocal(Executor):
                                aux, host_filter_tile)
             jitted = call
         else:
-            jitted = jax.jit(step, donate_argnums=(0,))
+            jitted = jax.jit(step, donate_argnums=(0,),
+                             compiler_options=_pass_compiler_options())
         self._step_cache[key] = jitted
         return jitted
 
@@ -486,9 +487,22 @@ class ExecutorLocal(Executor):
 
             return jax.lax.fori_loop(0, n_tiles, body, states)
 
-        jitted = jax.jit(whole, donate_argnums=(0,))
+        jitted = jax.jit(whole, donate_argnums=(0,),
+                         compiler_options=_pass_compiler_options())
         self._step_cache[key] = jitted
         return jitted
+
+
+def _pass_compiler_options():
+    """TPU pass programs may exceed the default 16MB scoped-VMEM limit (the
+    reduce-window lowering of emulated-f64 cumsums); v5e has 128MB VMEM."""
+    import jax
+    try:
+        if jax.default_backend() == "tpu":
+            return {"xla_tpu_scoped_vmem_limit_kib": 65536}
+    except Exception:  # pragma: no cover
+        pass
+    return None
 
 
 def _make_step_fn(df, device_tasks, tile_inputs, host_expr_by_slot, set_meta,

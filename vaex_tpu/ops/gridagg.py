@@ -361,13 +361,13 @@ def dense_rank_additive(key, cols, n_bins):
     N, A = cols.shape
     out = jax.lax.sort((key,) + tuple(cols[:, a] for a in range(A)), num_keys=1)
     ends = segment_ends(out[0], n_bins)
-    sums = []
-    for a in range(A):
-        # associative_scan, not jnp.cumsum: the reduce-window lowering of an
-        # emulated-f64 cumsum blows the 16MB scoped-VMEM limit at N=1e7
-        upper = jax.lax.associative_scan(jnp.add, out[1 + a])[ends]
-        sums.append(jnp.diff(upper, prepend=jnp.zeros(1, upper.dtype)))
-    return jnp.stack(sums, axis=1), ends
+    # ONE batched associative_scan for all columns (not jnp.cumsum: the
+    # reduce-window lowering of an emulated-f64 cumsum blows the 16MB
+    # scoped-VMEM limit at N=1e7; not per-column: 24 scan levels per column
+    # bloat the compile)
+    scols = jnp.stack(out[1:], axis=1)                       # [N, A]
+    upper = jax.lax.associative_scan(jnp.add, scols, axis=0)[ends]
+    return jnp.diff(upper, axis=0, prepend=jnp.zeros((1, A), upper.dtype)), ends
 
 
 def dense_rank_extreme(key, col, n_bins, mode, ends=None):
