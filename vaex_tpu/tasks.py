@@ -122,6 +122,10 @@ class TaskAggregations(Task):
     # grids past this always ride the sort path, where one whole-table tile
     # beats any tiling (per-tile cost is O(G), not O(tile))
     WHOLE_TILE_MIN_G = 1 << 21
+    # the dense-rank carried-sort program (5+ f64 operands + batched scan)
+    # OOM-kills the tunneled AOT compiler at 1e7 rows; cap until the
+    # program is restructured (or a persistent compile cache lands)
+    DENSE_RANK_MAX_ROWS = 1 << 22
 
     def preferred_tile_rows(self, n_total):
         from .ops.binners import grid_size
@@ -163,7 +167,8 @@ class TaskAggregations(Task):
                 and (use_sort_additive or use_sort_extreme)
                 and not getattr(ctx, "spmd_shard", False)
                 # every bin observed holds for the WHOLE pass, not per tile
-                and ctx.n_rows >= self.df.dataset_for_execution().row_count):
+                and ctx.n_rows >= self.df.dataset_for_execution().row_count
+                and ctx.n_rows <= self.DENSE_RANK_MAX_ROWS):
             key_na = ctx.expr(binner.raw_expression)
             if (key_na.mask is None
                     and jnp.issubdtype(key_na.data.dtype, jnp.integer)):
