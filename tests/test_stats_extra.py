@@ -112,3 +112,98 @@ def test_mode_binby():
     modes = df.mode("x", binby=["g"], limits=[[0, 2]], shape=2)
     assert abs(modes[0] - 3.0) < 0.3
     assert abs(modes[1] - 7.0) < 0.3
+
+
+# ---------------------------------------------------------------------------
+# groupby-level aggregates for H2O q6/q8/q9: median/percentile, top-k, corr
+
+
+def _h2o_frame(n=4000, seed=7):
+    rng = np.random.default_rng(seed)
+    return vt.from_arrays(
+        k=rng.integers(0, 7, n).astype("i8"),
+        k2=rng.integers(0, 3, n).astype("i8"),
+        v1=rng.integers(1, 6, n).astype("i8"),
+        v3=rng.random(n) * 100,
+    )
+
+
+def test_agg_median_groupby():
+    df = _h2o_frame()
+    out = df.groupby("k", agg={"med": vt.agg.median_approx("v3"),
+                               "sd": vt.agg.std("v3", ddof=1)}, sort=True)
+    pdf = df.to_pandas_df()
+    oracle = pdf.groupby("k")["v3"].median().sort_index()
+    sd_oracle = pdf.groupby("k")["v3"].std().sort_index()
+    np.testing.assert_allclose(np.asarray(out["med"].values), oracle.to_numpy(), atol=0.35)
+    np.testing.assert_allclose(np.asarray(out["sd"].values), sd_oracle.to_numpy(), rtol=1e-6)
+
+
+def test_agg_percentile_groupby():
+    df = _h2o_frame()
+    out = df.groupby("k", agg={"p90": vt.agg.percentile_approx("v3", 90.0)}, sort=True)
+    pdf = df.to_pandas_df()
+    oracle = pdf.groupby("k")["v3"].quantile(0.9).sort_index()
+    np.testing.assert_allclose(np.asarray(out["p90"].values), oracle.to_numpy(), atol=0.5)
+
+
+def test_agg_corr_groupby():
+    rng = np.random.default_rng(3)
+    n = 3000
+    k = rng.integers(0, 5, n).astype("i8")
+    x = rng.random(n)
+    y = 0.5 * x + rng.random(n) * 0.3
+    df = vt.from_arrays(k=k, x=x, y=y)
+    out = df.groupby("k", agg={"r": vt.agg.corr("x", "y")}, sort=True)
+    pdf = df.to_pandas_df()
+    oracle = pdf.groupby("k").apply(lambda g: g["x"].corr(g["y"]))
+    np.testing.assert_allclose(np.asarray(out["r"].values), oracle.to_numpy(), rtol=1e-9)
+
+
+def test_agg_covar_groupby():
+    rng = np.random.default_rng(4)
+    n = 2000
+    k = rng.integers(0, 4, n).astype("i8")
+    x = rng.random(n)
+    y = x + rng.random(n)
+    df = vt.from_arrays(k=k, x=x, y=y)
+    out = df.groupby("k", agg={"c": vt.agg.covar("x", "y")}, sort=True)
+    pdf = df.to_pandas_df()
+    oracle = pdf.groupby("k").apply(lambda g: g["x"].cov(g["y"]) * (len(g) - 1) / len(g))
+    np.testing.assert_allclose(np.asarray(out["c"].values), oracle.to_numpy(), rtol=1e-9)
+
+
+def test_agg_nth_largest_groupby():
+    df = _h2o_frame(n=500)
+    out = df.groupby("k", agg={"top1": vt.agg.nth_largest("v3", 0),
+                               "top2": vt.agg.nth_largest("v3", 1),
+                               "bot1": vt.agg.nth_smallest("v3", 0)}, sort=True)
+    pdf = df.to_pandas_df()
+    top1 = pdf.groupby("k")["v3"].max().sort_index()
+    top2 = pdf.groupby("k")["v3"].apply(lambda s: s.nlargest(2).iloc[-1]).sort_index()
+    bot1 = pdf.groupby("k")["v3"].min().sort_index()
+    np.testing.assert_allclose(np.asarray(out["top1"].values), top1.to_numpy())
+    np.testing.assert_allclose(np.asarray(out["top2"].values), top2.to_numpy())
+    np.testing.assert_allclose(np.asarray(out["bot1"].values), bot1.to_numpy())
+
+
+def test_agg_corr_with_nan_null():
+    x = np.array([1.0, 2.0, np.nan, 4.0, 5.0, 6.0])
+    y = np.ma.MaskedArray([2.0, 4.1, 6.0, 8.2, 10.0, 1.0],
+                          [False, False, False, False, False, True])
+    k = np.zeros(6, "i8")
+    df = vt.from_arrays(k=k, x=x, y=y)
+    out = df.groupby("k", agg={"r": vt.agg.corr("x", "y")})
+    import pandas as pd
+    oracle = pd.Series([1.0, 2.0, 4.0, 5.0]).corr(pd.Series([2.0, 4.1, 8.2, 10.0]))
+    np.testing.assert_allclose(np.asarray(out["r"].values)[0], oracle, rtol=1e-9)
+
+
+def test_agg_median_multitile():
+    # the histogram state must merge across tiles
+    df = _h2o_frame(n=3000)
+    df._tile_rows = 512
+    out = df.groupby("k", agg={"med": vt.agg.median_approx("v3")}, sort=True)
+    pdf = df.to_pandas_df()
+    oracle = pdf.groupby("k")["v3"].median().sort_index()
+    np.testing.assert_allclose(np.asarray(out["med"].values), oracle.to_numpy(), atol=0.35)

@@ -455,6 +455,176 @@ class OpNUniquePresence(AggOperation):
         return counts
 
 
+class OpTopK(AggOperation):
+    """Per-cell K largest (or smallest) values (H2O q8 'largest two v3 by
+    id6'; no reference machinery exists — vaex's own q8 is commented out,
+    /root/reference/benchmarks/groupbyh2o.py:80-84).
+
+    TPU-native: one (cell, value) lexicographic sort per tile orders every
+    cell's values contiguously; each cell's top K sit at its segment start
+    (descending via negation).  State is a [G, K] grid that merges with a
+    tile's/device's top-K by row-wise sort of the concatenation — associative
+    and commutative, so tiles and devices combine freely.
+    """
+
+    name = "topk"
+
+    def __init__(self, expressions, k, largest=True, **kwargs):
+        super().__init__(expressions, **kwargs)
+        self.k = int(k)
+        self.largest = largest
+
+    def fingerprint(self):
+        return fingerprint(super().fingerprint(), self.k, self.largest)
+
+    def _fill(self):
+        dt = DataType(self.dtype_in).device
+        return gridagg.max_identity(dt) if self.largest else gridagg.min_identity(dt)
+
+    def initial_state(self, G):
+        dt = DataType(self.dtype_in).device
+        return (np.full((G, self.k), self._fill(), dt),)
+
+    def _tile_topk(self, flat_idx, ctx):
+        import jax
+        import jax.numpy as jnp
+        x = ctx.expr(self.expressions[0])
+        valid = gridagg.value_valid(x, self._valid(ctx))
+        dt = DataType(self.dtype_in).device
+        fill = jnp.asarray(self._fill(), dt)
+        col = jnp.where(valid, x.data.astype(dt), fill)
+        G = None  # set by caller
+        return col, fill
+
+    def update(self, state, flat_idx, ctx):
+        import jax
+        import jax.numpy as jnp
+        (grid,) = state
+        G = grid.shape[0]
+        col, fill = self._tile_topk(flat_idx, ctx)
+        # sort (cell, value) so each cell's best K values lead its segment;
+        # invalid rows carry the identity and sort to the harmless end
+        key = col if not self.largest else _neg_order(col)
+        sidx, skey = jax.lax.sort((flat_idx, key), num_keys=2)
+        svals = _neg_order(skey) if self.largest else skey
+        bins = jnp.arange(G, dtype=sidx.dtype)
+        starts = jnp.searchsorted(sidx, bins, side="left")
+        ends = jnp.searchsorted(sidx, bins, side="right")
+        N = sidx.shape[0]
+        cols = []
+        for j in range(self.k):
+            pos = jnp.clip(starts + j, 0, N - 1)
+            v = svals[pos]
+            cols.append(jnp.where(starts + j < ends, v, fill))
+        tile = jnp.stack(cols, axis=1)                     # [G, K]
+        return (self._combine(grid, tile),)
+
+    def _combine(self, a, b):
+        import jax.numpy as jnp
+        both = jnp.concatenate([a, b], axis=1)
+        both = jnp.sort(both, axis=1)
+        return both[:, -self.k:][:, ::-1] if self.largest else both[:, :self.k]
+
+    def merge(self, state, delta, axis_name):
+        import jax
+        import jax.numpy as jnp
+        (grid,) = state
+        (dgrid,) = delta
+        gathered = jax.lax.all_gather(dgrid, axis_name, axis=1)  # [G, D, K]
+        gathered = gathered.reshape(grid.shape[0], -1)
+        return (self._combine(grid, gathered),)
+
+    def get_result(self, state):
+        grid = _view_logical(state[0], self.dtype_in)
+        fill = self._fill()
+        if np.dtype(grid.dtype).kind == "f":
+            grid = np.where(grid == fill, np.nan, grid)
+        return grid
+
+
+def _neg_order(col):
+    """Order-reversing transform that is its own inverse (floats negate;
+    ints flip around -1 to avoid int-min overflow)."""
+    import jax.numpy as jnp
+    if jnp.issubdtype(col.dtype, jnp.floating):
+        return -col
+    return ~col  # two's complement: x -> -x-1, strictly order-reversing
+
+
+class OpPercentile(AggOperation):
+    """Per-cell approximate percentile via a [G, B] binned count grid +
+    histogram interpolation (reference: percentile_approx builds the same
+    cumulative binned-count grid, dataframe.py:1419-1524 +
+    vaexfast.cpp:1574 grid_find_edges; here the per-cell histogram IS the
+    aggregation state, so it works under groupby, and the interpolation
+    happens on the host at finalize)."""
+
+    name = "percentile"
+
+    def __init__(self, expressions, percentages, vmin, vmax, bins, **kwargs):
+        super().__init__(expressions, **kwargs)
+        self.percentages = [float(p) for p in (percentages if isinstance(percentages, (list, tuple)) else [percentages])]
+        self.vmin = float(vmin)
+        self.vmax = float(vmax)
+        self.bins = int(bins)
+
+    def fingerprint(self):
+        return fingerprint(super().fingerprint(), tuple(self.percentages),
+                           self.vmin, self.vmax, self.bins)
+
+    def initial_state(self, G):
+        return (np.zeros(G * self.bins, np.int32),)
+
+    def update(self, state, flat_idx, ctx):
+        import jax.numpy as jnp
+        (hist,) = state
+        x = ctx.expr(self.expressions[0])
+        valid = gridagg.value_valid(x, self._valid(ctx))
+        B = self.bins
+        G = hist.shape[0] // B
+        v = x.data.astype(jnp.float64)
+        width = (self.vmax - self.vmin) or 1.0
+        b = jnp.clip(((v - self.vmin) / width * B).astype(jnp.int32), 0, B - 1)
+        flat2 = flat_idx * B + b
+        flat2 = jnp.where(valid & (flat_idx < G), flat2, G * B)
+        return (hist.at[flat2].add(jnp.ones(flat2.shape, hist.dtype), mode="drop"),)
+
+    def get_result(self, state):
+        counts = np.asarray(state[0]).reshape(-1, self.bins).astype(np.float64)
+        cum = np.cumsum(counts, axis=1)
+        n = cum[:, -1]
+        width = (self.vmax - self.vmin) or 1.0
+        w = width / self.bins
+        rows = np.arange(len(n))
+
+        def value_at_rank(r):
+            """Approximate the 0-based r-th smallest value per cell: locate
+            its bin in the cumulative counts, place it at the bin midpoint of
+            its within-bin position."""
+            k = (cum <= r[:, None]).sum(axis=1)
+            k = np.clip(k, 0, self.bins - 1)
+            before = np.where(k > 0, cum[rows, np.maximum(k - 1, 0)], 0)
+            inbin = counts[rows, k]
+            frac = np.where(inbin > 0, (r - before + 0.5) / inbin, 0.5)
+            return self.vmin + (k + np.clip(frac, 0.0, 1.0)) * w
+
+        outs = []
+        with np.errstate(divide="ignore", invalid="ignore"):
+            for pct in self.percentages:
+                # linear-interpolation rank (numpy/pandas default): the value
+                # interpolates BETWEEN the bracketing integer ranks — two
+                # far-apart values in a 2-row group still give their midpoint
+                p = np.clip(pct / 100.0 * (n - 1), 0, np.maximum(n - 1, 0))
+                lo_r = np.floor(p)
+                v_lo = value_at_rank(lo_r)
+                v_hi = value_at_rank(np.ceil(p))
+                value = v_lo + (p - lo_r) * (v_hi - v_lo)
+                outs.append(np.where(n > 0, value, np.nan))
+        if len(outs) == 1:
+            return outs[0]
+        return np.stack(outs, axis=1)
+
+
 _PAIR_SENTINEL = np.int64(2**63 - 1)
 
 # presence grids above this byte count switch nunique to the sorted-pair op
@@ -642,9 +812,188 @@ class AggregatorDescriptorVar(AggregatorDescriptor):
                 mean = m1 / n
                 var = m2 / n - mean ** 2
                 if self.ddof:
-                    var = var * n / (n - self.ddof)
+                    # n <= ddof has no unbiased estimate (pandas: NaN); the
+                    # raw-moment var may be a tiny rounding residue there, so
+                    # mask instead of letting it blow up to inf
+                    var = np.where(n > self.ddof, var * n / (n - self.ddof), np.nan)
                 return np.sqrt(var) if self.std else var
         return [finish(s1, s2, c)]
+
+
+class AggregatorDescriptorCovar(AggregatorDescriptor):
+    """Per-cell covariance cov(x, y) = E[xy] - E[x]E[y] from additive moments
+    (reference computes the same quantity globally via dataframe.py:1067
+    ``covar``; here it is a grid aggregate composed from SumMoment ops)."""
+
+    def __init__(self, x, y, selection=None, edges=False, ddof=0):
+        super().__init__("covar", x, selection, edges)
+        self.y = str(y)
+        self.ddof = ddof
+
+    def pretty_name(self, name=None, df=None):
+        from .utils import find_valid_name
+        return find_valid_name(name or f"{self.expression}_{self.y}_{self.name}")
+
+    def _moment_tasks(self, df, binners):
+        x, y = self.expression, self.y
+        both = f"where(notna({x}) & notna({y}), 1, 0)"
+        # masking each operand by the other's validity keeps the moments
+        # consistent on rows where only one of x/y is NaN/null
+        xv = f"where(notna({y}), {x}, {y}*0)"
+        yv = f"where(notna({x}), {y}, {x}*0)"
+        xy = f"({x}) * ({y})"
+        sel = self.selection
+        [sxy] = _sum_moment(xy, 1, selection=sel).add_tasks(df, binners)
+        [sx] = _sum_moment(xv, 1, selection=sel).add_tasks(df, binners)
+        [sy] = _sum_moment(yv, 1, selection=sel).add_tasks(df, binners)
+        [n] = AggregatorDescriptorBasic("count", xy, OpCount, sel).add_tasks(df, binners)
+        return sxy, sx, sy, n
+
+    def add_tasks(self, df, binners, progress=None):
+        sxy, sx, sy, n = self._moment_tasks(df, binners)
+        ddof = self.ddof
+
+        @delayed
+        def finish(mxy, mx, my, c):
+            with np.errstate(divide="ignore", invalid="ignore"):
+                cov = mxy / c - (mx / c) * (my / c)
+                if ddof:
+                    cov = cov * c / (c - ddof)
+                return cov
+        return [finish(sxy, sx, sy, n)]
+
+
+class AggregatorDescriptorCorr(AggregatorDescriptorCovar):
+    """Per-cell Pearson correlation (H2O q9; reference computes the global
+    analogue in dataframe.py:1121 ``correlation``)."""
+
+    def __init__(self, x, y, selection=None, edges=False):
+        super().__init__(x, y, selection, edges)
+        self.name = "corr"
+
+    def add_tasks(self, df, binners, progress=None):
+        sxy, sx, sy, n = self._moment_tasks(df, binners)
+        x, y = self.expression, self.y
+        sel = self.selection
+        xv = f"where(notna({y}), {x}, {y}*0)"
+        yv = f"where(notna({x}), {y}, {x}*0)"
+        [sxx] = _sum_moment(xv, 2, selection=sel).add_tasks(df, binners)
+        [syy] = _sum_moment(yv, 2, selection=sel).add_tasks(df, binners)
+
+        @delayed
+        def finish(mxy, mx, my, mxx, myy, c):
+            with np.errstate(divide="ignore", invalid="ignore"):
+                ex, ey = mx / c, my / c
+                cov = mxy / c - ex * ey
+                vx = mxx / c - ex ** 2
+                vy = myy / c - ey ** 2
+                r = cov / np.sqrt(vx * vy)
+                # a constant operand has zero variance: correlation is
+                # undefined (pandas: NaN), not the ±inf of a 0-division
+                return np.where(np.isfinite(r), r, np.nan)
+        return [finish(sxy, sx, sy, sxx, syy, n)]
+
+
+class AggregatorDescriptorPercentile(AggregatorDescriptor):
+    """Per-cell approximate percentile/median (reference semantics:
+    dataframe.py:1419 percentile_approx, binned-cumulative interpolation).
+
+    Runs a fused minmax pre-pass over the value expression to fix the
+    histogram limits, like the reference's ``limits`` pre-pass."""
+
+    def __init__(self, expression, percentage=50.0, percentile_shape=1024,
+                 selection=None, edges=False):
+        super().__init__("percentile", expression, selection, edges)
+        self.percentage = percentage
+        self.percentile_shape = int(percentile_shape)
+
+    def add_tasks(self, df, binners, progress=None):
+        from .ops.binners import grid_size
+        # limits pre-pass (executes any queued tasks of this pass early,
+        # which is harmless: their promises resolve in that first pass)
+        vmin, vmax = np.asarray(df.minmax(self.expression))
+        G = grid_size(binners) if binners else 1
+        bins = self.percentile_shape
+        max_elems = 1 << 26
+        while G * bins > max_elems and bins > 64:
+            bins //= 2
+        op = OpPercentile([self.expression], self.percentage,
+                          float(vmin), float(vmax), bins,
+                          selection=self.selection,
+                          dtype_in=self._input_dtype(df))
+        return [df.executor.schedule_aggregation(df, binners, op)]
+
+
+class AggregatorDescriptorTopK(AggregatorDescriptor):
+    """K largest/smallest values per cell -> a [..., K] grid."""
+
+    def __init__(self, expression, k, largest=True, nth=None, selection=None, edges=False):
+        super().__init__("max_n" if largest else "min_n", expression, selection, edges)
+        self.k = int(k)
+        self.largest = largest
+        self.nth_index = nth
+
+    def pretty_name(self, name=None, df=None):
+        from .utils import find_valid_name
+        base = name or self.expression
+        suffix = self.name if self.nth_index is None else f"{self.name}_{self.nth_index}"
+        return find_valid_name(f"{base}_{suffix}")
+
+    def add_tasks(self, df, binners, progress=None):
+        op = OpTopK([self.expression], self.k, largest=self.largest,
+                    selection=self.selection, dtype_in=self._input_dtype(df))
+        task = df.executor.schedule_aggregation(df, binners, op)
+        if self.nth_index is None:
+            return [task]
+        i = self.nth_index
+
+        @delayed
+        def pick(grid):
+            return grid[..., i]
+        return [pick(task)]
+
+
+def percentile_approx(expression, percentage=50.0, percentile_shape=1024,
+                      selection=None, edges=False):
+    return AggregatorDescriptorPercentile(expression, percentage, percentile_shape,
+                                          selection=selection, edges=edges)
+
+
+def median_approx(expression, percentile_shape=1024, selection=None, edges=False):
+    desc = AggregatorDescriptorPercentile(expression, 50.0, percentile_shape,
+                                          selection=selection, edges=edges)
+    desc.name = "median"
+    return desc
+
+
+def max_n(expression, k, selection=None, edges=False):
+    """The K largest values per group as a [..., K] grid (H2O q8)."""
+    return AggregatorDescriptorTopK(expression, k, largest=True,
+                                    selection=selection, edges=edges)
+
+
+def min_n(expression, k, selection=None, edges=False):
+    return AggregatorDescriptorTopK(expression, k, largest=False,
+                                    selection=selection, edges=edges)
+
+
+def nth_largest(expression, n, selection=None, edges=False):
+    """The (n+1)-th largest value per group (0-based n)."""
+    return AggregatorDescriptorTopK(expression, n + 1, largest=True, nth=n,
+                                    selection=selection, edges=edges)
+
+
+def nth_smallest(expression, n, selection=None, edges=False):
+    return AggregatorDescriptorTopK(expression, n + 1, largest=False, nth=n,
+                                    selection=selection, edges=edges)
+
+
+def covar(x, y, selection=None, edges=False, ddof=0):
+    return AggregatorDescriptorCovar(x, y, selection=selection, edges=edges, ddof=ddof)
+
+
+def corr(x, y, selection=None, edges=False):
+    return AggregatorDescriptorCorr(x, y, selection=selection, edges=edges)
 
 
 def count(expression="*", selection=None, edges=False):
@@ -738,5 +1087,8 @@ def nunique(expression, dropna=False, dropnan=False, dropmissing=False, selectio
 aggregates = {
     "count": count, "sum": sum, "mean": mean, "min": min, "max": max,
     "first": first, "std": std, "var": var, "nunique": nunique,
-    "_sum_moment": _sum_moment,
+    "_sum_moment": _sum_moment, "median": median_approx,
+    "median_approx": median_approx, "percentile_approx": percentile_approx,
+    "corr": corr, "covar": covar, "max_n": max_n, "min_n": min_n,
+    "nth_largest": nth_largest, "nth_smallest": nth_smallest,
 }
