@@ -58,6 +58,23 @@ def _unique_and_counts(data, keep_counts):
             return uniq, None
         except ImportError:
             pass
+    if data.dtype.kind in "OUS" and n > 4096:
+        # strings: arrow's hash kernels beat np.unique's per-row Python
+        # comparisons by ~30x (reference: hash_string.cpp bulk inserts)
+        try:
+            import pyarrow as pa
+            import pyarrow.compute as pc
+            arr = pa.array(data, type=pa.large_utf8())
+            if keep_counts:
+                vc = pc.value_counts(arr)
+                uniq = np.asarray(vc.field("values").to_pylist(), dtype=object)
+                cnt = np.asarray(vc.field("counts")).astype(np.int64)
+                order = np.argsort(uniq, kind="stable")
+                return uniq[order], cnt[order]
+            uniq = np.asarray(pc.unique(arr).to_pylist(), dtype=object)
+            return np.sort(uniq), None
+        except ImportError:  # pragma: no cover
+            pass
     if keep_counts:
         return np.unique(data, return_counts=True)
     return np.unique(data), None
@@ -238,8 +255,7 @@ class SortedSet:
         """values -> ordinal codes (host). Unknown keys get -1."""
         data, mask = array_types.data_and_mask(values)
         if self.is_string:
-            lut = {k: i for i, k in enumerate(self.keys)}
-            codes = np.asarray([lut.get(v, -1) for v in data], dtype=np.int64)
+            codes = _string_index_in(data, self.keys)
         else:
             idx = np.searchsorted(self.keys, data)
             idx = np.clip(idx, 0, max(self.n_keys - 1, 0))
@@ -254,8 +270,7 @@ class SortedSet:
     def isin(self, values):
         data, mask = array_types.data_and_mask(values)
         if self.is_string:
-            lut = set(self.keys)
-            out = np.asarray([v in lut for v in data], dtype=bool)
+            out = _string_index_in(data, self.keys) >= 0
         else:
             if self.n_keys:
                 idx = np.clip(np.searchsorted(self.keys, data), 0, self.n_keys - 1)
@@ -267,6 +282,28 @@ class SortedSet:
         if mask is not None:
             out = np.where(mask, self.has_null, out)
         return out
+
+
+def _string_index_in(data, keys):
+    """Vectorized string probe: position of each value in ``keys`` (-1 when
+    absent).  Replaces the per-row Python dict loop with pyarrow's hash
+    kernel — the same engine the reference leans on for string compute
+    (functions.py:28 _arrow_string_kernel_dispatch); its own probe is C++
+    (hash_string.cpp map_ordinal)."""
+    n = len(data)
+    if n == 0 or len(keys) == 0:
+        return np.full(n, -1, np.int64)
+    try:
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        arr = pa.array(data, type=pa.large_utf8())
+        kset = pa.array(np.asarray(keys, dtype=object), type=pa.large_utf8())
+        idx = pc.index_in(arr, value_set=kset)
+        codes = np.asarray(idx.fill_null(-1)).astype(np.int64)
+        return codes
+    except ImportError:  # pragma: no cover
+        lut = {k: i for i, k in enumerate(keys)}
+        return np.asarray([lut.get(v, -1) for v in data], dtype=np.int64)
 
 
 def _shrink_codes(codes, count):
