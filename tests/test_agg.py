@@ -187,3 +187,19 @@ def test_uint64_sum_exact(df_local):
         oracle = np.zeros(2500, np.uint64)
         np.add.at(oracle, k, v)
     npt.assert_array_equal(out["v"].to_numpy().astype(np.uint64), oracle)
+
+
+def test_sum_value_bound_exact():
+    # minmax-informed limb shrinking must stay exact across value ranges
+    import vaex_tpu as vt
+    rng = np.random.default_rng(11)
+    n = 20000
+    for lo, hi in [(1, 6), (0, 300), (-5, 5), (-70000, 70000), (2**40, 2**40 + 9)]:
+        k = rng.integers(0, 5000, n).astype(np.int64)
+        v = rng.integers(lo, hi + 1, n).astype(np.int64)
+        df = vt.from_arrays(k=k, v=v)
+        out = df.groupby("k", agg={"v": "sum"}, sort=True)
+        import pandas as pd
+        oracle = pd.DataFrame({"k": k, "v": v}).groupby("k")["v"].sum().sort_index()
+        np.testing.assert_array_equal(np.asarray(out["v"].values, np.int64),
+                                      oracle.to_numpy())

@@ -224,3 +224,69 @@ def test_graphql_execute_errors(df_local):
     assert result.errors
     result = df_local.graphql.execute("{ nosuchframe { count } }")
     assert result.errors
+
+
+def test_cache_disk_backend(tmp_path):
+    import vaex_tpu as vt
+    from vaex_tpu import cache
+    rng = np.random.default_rng(0)
+    df = vt.from_arrays(x=rng.random(1000), g=rng.integers(0, 5, 1000).astype("i8"))
+    with cache.disk(path=str(tmp_path / "c"), clear_on_exit=False):
+        r1 = df.groupby("g", agg={"x": "sum"}, sort=True)
+        before = cache.hits
+        r2 = df.groupby("g", agg={"x": "sum"}, sort=True)
+        assert cache.hits > before
+        np.testing.assert_allclose(np.asarray(r1["x"].values), np.asarray(r2["x"].values))
+    # a FRESH process-equivalent: new backend over the same dir still hits
+    with cache.disk(path=str(tmp_path / "c")):
+        before = cache.hits
+        df.groupby("g", agg={"x": "sum"}, sort=True)
+        assert cache.hits > before
+
+
+def test_cache_memory_lru_eviction():
+    from vaex_tpu.cache import MemoryCacheLRU
+    c = MemoryCacheLRU(size_limit=100)
+    a = np.zeros(10)  # 80 bytes
+    c.set("a", a)
+    c.set("b", np.zeros(10))
+    assert c.get("a") is None or c.get("b") is not None  # something evicted
+    assert len(c._data) >= 1
+
+
+def test_cache_multilevel(tmp_path):
+    from vaex_tpu.cache import DiskCache, MemoryCache, MultilevelCache
+    mem, dsk = MemoryCache(), DiskCache(path=str(tmp_path / "c2"))
+    ml = MultilevelCache(mem, dsk)
+    ml.set("k", np.arange(3))
+    mem.clear()
+    got = ml.get("k")  # falls through to disk, backfills memory
+    np.testing.assert_array_equal(got, np.arange(3))
+    assert mem.get("k") is not None
+
+
+def test_dataset_hashed_sidecar(tmp_path):
+    import vaex_tpu as vt
+    df = vt.from_arrays(x=np.arange(100.0), y=np.arange(100.0) ** 2)
+    path = str(tmp_path / "t.hdf5")
+    df.export_hdf5(path)
+    ds = vt.open(path).dataset_for_execution()
+    # unwrap decorators to the file node
+    base = ds
+    while hasattr(base, "original"):
+        base = base.original
+    h1 = base.hashed()
+    sidecar = f"{path}.d/hashes.yaml"
+    import os
+    assert os.path.exists(sidecar)
+    h2 = base.hashed()  # second call: read from sidecar
+    assert h1.fingerprint() == h2.fingerprint()
+    assert h1.fingerprint() != base.fingerprint()
+    # content change invalidates
+    df2 = vt.from_arrays(x=np.arange(100.0) + 1, y=np.arange(100.0) ** 2)
+    df2.export_hdf5(path)
+    ds2 = vt.open(path).dataset_for_execution()
+    base2 = ds2
+    while hasattr(base2, "original"):
+        base2 = base2.original
+    assert base2.hashed().fingerprint() != h1.fingerprint()

@@ -123,6 +123,22 @@ class OpSum(AggOperation):
     LIMB_BITS = 22
     LIMB_COUNT = 3
 
+    # optional (lo, hi) value range from a minmax pre-pass: values proven
+    # small need fewer limb channels — still EXACT, the dropped high limbs
+    # are identically zero (the kernel/sort cost scales with channel count)
+    value_bound = None
+
+    def fingerprint(self):
+        return fingerprint(super().fingerprint(), self.value_bound)
+
+    def _bounded_bits(self):
+        """Bit bound b with every |value| < 2^b, or None without a bound."""
+        if self.value_bound is None:
+            return None
+        lo, hi = self.value_bound
+        return builtins.max(int(abs(int(lo))).bit_length(),
+                            int(abs(int(hi))).bit_length()) + 1
+
     def initial_state(self, G):
         return (np.zeros(G, DataType(self.dtype_in).upcast().numpy),)
 
@@ -166,16 +182,22 @@ class OpSum(AggOperation):
             # bitcast preserves two's-complement bits for int64
             u = jax.lax.bitcast_convert_type(d.astype(jnp.int64), jnp.uint64)
         u = jnp.where(valid, u, jnp.uint64(0))
+        n_limbs = self.LIMB_COUNT
+        bits = self._bounded_bits()
+        if bits is not None and self.value_bound[0] >= 0:
+            # nonnegative bounded values: high two's-complement limbs are
+            # identically zero, dropping them keeps the sum exact
+            n_limbs = builtins.min(n_limbs, -(-bits // self.LIMB_BITS))
         mask = jnp.uint64((1 << self.LIMB_BITS) - 1)
         return [((u >> jnp.uint64(self.LIMB_BITS * k)) & mask).astype(jnp.float64)
-                for k in range(self.LIMB_COUNT)]
+                for k in range(n_limbs)]
 
     def apply_additive_exact(self, state, grid_slab):
         """grid_slab [G, LIMB_COUNT] f64 limb sums -> exact mod-2^64 delta."""
         import jax
         import jax.numpy as jnp
         u = grid_slab[:, 0].astype(jnp.uint64)
-        for k in range(1, self.LIMB_COUNT):
+        for k in range(1, grid_slab.shape[1]):
             u = u + (grid_slab[:, k].astype(jnp.uint64) << jnp.uint64(self.LIMB_BITS * k))
         if state[0].dtype == jnp.uint64:
             delta = u
@@ -184,10 +206,14 @@ class OpSum(AggOperation):
         return (state[0] + delta,)
 
     def _n_kernel_channels(self):
-        """Signed 8-bit limb count covering the input dtype's range."""
+        """Signed 8-bit limb count covering the input's value range."""
         dt = DataType(self.dtype_in).device
         if dt.kind == "b":
             return 1
+        b = self._bounded_bits()
+        if b is not None:
+            # signed limbs absorb negatives too: |v| < 2^(8n-1) suffices
+            return builtins.max(1, -(-(b) // 8))
         bits = dt.itemsize * 8
         if bits >= 64:
             return 8  # wraps mod 2^64, matching int64/uint64 C++ accumulation
@@ -762,6 +788,13 @@ class AggregatorDescriptorBasic(AggregatorDescriptor):
         else:
             op = self.op_class(exprs, selection=self.selection, dtype_in=dtype_in,
                                **self.op_kwargs)
+        if (self.op_class is OpSum and exprs and dtype_in.numpy.kind in "iu"):
+            from .ops.binners import grid_size
+            # big grids: kernel/sort cost scales with limb-channel count, so
+            # a (memoized) minmax pre-pass that proves the values small pays
+            # for itself many times over
+            if binners and grid_size(binners) > 4096:
+                op.value_bound = df._int_value_bound(self.expression)
         task = df.executor.schedule_aggregation(df, binners, op)
         return [task]
 

@@ -1132,6 +1132,23 @@ class DataFrame:
         return float(np.nansum(terms))
 
     # -------------------------------------------------------------- set ops
+    def _int_value_bound(self, expression):
+        """(lo, hi) of an integer expression from a memoized minmax pass, or
+        None when it cannot be computed cheaply.  Used to shrink exact-sum
+        limb channel counts (kernel/sort cost is linear in channels)."""
+        expression = str(expression)
+        memo = getattr(self.executor, "_minmax_memo", None)
+        if memo is None:
+            memo = self.executor._minmax_memo = {}
+        key = (self.fingerprint(), expression)
+        if key not in memo:
+            try:
+                lo, hi = np.asarray(self.minmax(expression))
+                memo[key] = (int(lo), int(hi))
+            except Exception:
+                memo[key] = None
+        return memo[key]
+
     def _set(self, expression, keep_counts=False, limit=None, limit_raise=True,
              expected_cardinality=None):
         """Build a SortedSet over an expression (reference dataframe.py:474).

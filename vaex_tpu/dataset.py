@@ -11,6 +11,7 @@ pads them into fixed-size device tiles.
 from __future__ import annotations
 
 import collections.abc
+import os
 from typing import Dict, Iterator, List, Optional, Tuple
 
 import numpy as np
@@ -442,3 +443,59 @@ class DatasetFile(Dataset):
         import os
         stat = os.stat(self.path)
         return fingerprint("dataset-file", str(self.path), stat.st_size, stat.st_mtime)
+
+    # -- content hashes + sidecar cache (reference dataset.py:1489-1596) ----
+    def _hash_sidecar_path(self):
+        return os.path.join(f"{self.path}.d", "hashes.yaml")
+
+    def _read_hashes(self):
+        """Sidecar column hashes, if present and still valid for this file."""
+        import yaml
+        path = self._hash_sidecar_path()
+        if not os.path.exists(path):
+            return {}
+        try:
+            with open(path) as f:
+                data = yaml.safe_load(f) or {}
+            stat = os.stat(self.path)
+            if data.get("size") != stat.st_size or data.get("mtime") != stat.st_mtime:
+                return {}  # file changed: every hash is stale
+            return data.get("columns", {}) or {}
+        except Exception:
+            return {}
+
+    def _write_hashes(self, hashes):
+        import yaml
+        stat = os.stat(self.path)
+        os.makedirs(f"{self.path}.d", exist_ok=True)
+        tmp = self._hash_sidecar_path() + f".tmp{os.getpid()}"
+        with open(tmp, "w") as f:
+            yaml.safe_dump({"size": stat.st_size, "mtime": stat.st_mtime,
+                            "columns": dict(hashes)}, f)
+        os.replace(tmp, self._hash_sidecar_path())
+
+    def hashed(self):
+        """A copy whose fingerprint derives from full column content hashes.
+
+        Hashes are computed once per file and persisted in
+        ``<path>.d/hashes.yaml`` (the reference's sidecar cache,
+        dataset.py:1489-1596), so the expensive pass never repeats across
+        processes.  Without this the fingerprint is (path, size, mtime) —
+        cheap but not content-derived."""
+        from . import array_types
+        hashes = self._read_hashes()
+        missing = [n for n in self._columns if n not in hashes]
+        for name in missing:
+            col = self._columns[name]
+            data = array_types.to_numpy(col[:]) if len(col) else np.empty(0)
+            hashes[name] = hash_array_data(data)
+        if missing:
+            try:
+                self._write_hashes(hashes)
+            except OSError:
+                pass  # read-only location: hashes still used this process
+        import copy
+        ds = copy.copy(self)
+        ds._ids = dict(hashes)
+        ds._fingerprint = fingerprint("dataset-file-hashed", dict(sorted(hashes.items())))
+        return ds

@@ -99,6 +99,27 @@ def _split_special(data, mask):
     return data, nan_count, null_count
 
 
+def _as_string_arrow(values):
+    """The values as a combined arrow string array, or None when they are
+    not arrow-string-backed (keeps string chunks on their native arrow
+    buffers instead of exploding them into Python objects)."""
+    try:
+        import pyarrow as pa
+    except ImportError:  # pragma: no cover
+        return None
+    if isinstance(values, pa.ChunkedArray):
+        values = values.combine_chunks()
+    if not isinstance(values, pa.Array):
+        return None
+    t = values.type
+    if pa.types.is_dictionary(t):
+        values = values.dictionary_decode()
+        t = values.type
+    if pa.types.is_string(t) or pa.types.is_large_string(t):
+        return values
+    return None
+
+
 class SortedSet:
     """ordered_set + counter in one (reference: hash_primitives.hpp:329-621).
 
@@ -123,11 +144,34 @@ class SortedSet:
     # -- construction -------------------------------------------------------
     def update(self, values, return_inverse=False):
         """Merge one chunk of host values into the set."""
+        arrow = _as_string_arrow(values)
+        if arrow is not None:
+            # stay in arrow: hash kernels on the native buffers, no
+            # to_pylist() round-trip of the whole chunk (only the chunk's
+            # UNIQUE keys materialize as Python strings)
+            import pyarrow.compute as pc
+            self.null_count += arrow.null_count
+            if arrow.null_count:
+                arrow = arrow.drop_null()
+            if self.keep_counts:
+                vc = pc.value_counts(arrow)
+                uniq = np.asarray(vc.field("values").to_pylist(), dtype=object)
+                cnt = np.asarray(vc.field("counts")).astype(np.int64)
+                order = np.argsort(uniq, kind="stable")
+                uniq, cnt = uniq[order], cnt[order]
+            else:
+                uniq = np.sort(np.asarray(pc.unique(arrow).to_pylist(), dtype=object))
+                cnt = None
+            self._merge_sorted_chunk(uniq, cnt)
+            return
         data, mask = array_types.data_and_mask(values)
         data, nan_count, null_count = _split_special(data, mask)
         self.nan_count += nan_count
         self.null_count += null_count
         uniq, cnt = _unique_and_counts(data, self.keep_counts)
+        self._merge_sorted_chunk(uniq, cnt)
+
+    def _merge_sorted_chunk(self, uniq, cnt):
         if len(self.keys) == 0:
             self.keys = uniq
             if self.keep_counts:
@@ -253,6 +297,12 @@ class SortedSet:
     # -- host probes --------------------------------------------------------
     def map_ordinal(self, values):
         """values -> ordinal codes (host). Unknown keys get -1."""
+        arrow = _as_string_arrow(values)
+        if arrow is not None:
+            codes = _string_index_in(arrow, self.keys)
+            if arrow.null_count:
+                codes = np.where(np.asarray(arrow.is_null()), self.null_ordinal, codes)
+            return _shrink_codes(codes, self.count)
         data, mask = array_types.data_and_mask(values)
         if self.is_string:
             codes = _string_index_in(data, self.keys)
@@ -268,6 +318,12 @@ class SortedSet:
         return _shrink_codes(codes, self.count)
 
     def isin(self, values):
+        arrow = _as_string_arrow(values)
+        if arrow is not None:
+            out = _string_index_in(arrow, self.keys) >= 0
+            if arrow.null_count:
+                out = np.where(np.asarray(arrow.is_null()), self.has_null, out)
+            return out
         data, mask = array_types.data_and_mask(values)
         if self.is_string:
             out = _string_index_in(data, self.keys) >= 0
@@ -296,7 +352,7 @@ def _string_index_in(data, keys):
     try:
         import pyarrow as pa
         import pyarrow.compute as pc
-        arr = pa.array(data, type=pa.large_utf8())
+        arr = data if isinstance(data, pa.Array) else pa.array(data, type=pa.large_utf8())
         kset = pa.array(np.asarray(keys, dtype=object), type=pa.large_utf8())
         idx = pc.index_in(arr, value_set=kset)
         codes = np.asarray(idx.fill_null(-1)).astype(np.int64)

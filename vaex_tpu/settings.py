@@ -31,6 +31,10 @@ TILE_ROWS = _int_env("VAEX_TPU_TILE_ROWS", 1 << 19)
 TILE_ROWS_MIN = _int_env("VAEX_TPU_TILE_ROWS_MIN", 1024)
 TILE_ROWS_MAX = _int_env("VAEX_TPU_TILE_ROWS_MAX", 1 << 22)
 CACHE = os.environ.get("VAEX_TPU_CACHE", "memory")
+CACHE_DISK_PATH = os.environ.get("VAEX_TPU_CACHE_DISK_PATH",
+                                 os.path.join(os.path.expanduser("~"), ".vaex_tpu", "cache"))
+CACHE_DISK_SIZE_LIMIT = _int_env("VAEX_TPU_CACHE_DISK_SIZE_LIMIT", 10 << 30)
+CACHE_MEMORY_SIZE_LIMIT = _int_env("VAEX_TPU_CACHE_MEMORY_SIZE_LIMIT", 1 << 30)
 X64 = os.environ.get("VAEX_TPU_X64", "1") == "1"
 NUM_THREADS_IO = _int_env("VAEX_TPU_NUM_THREADS_IO", 8)
 PREFETCH = _int_env("VAEX_TPU_PREFETCH", 2)

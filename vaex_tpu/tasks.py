@@ -455,6 +455,18 @@ class TaskSetCreate(Task):
     def process(self, i1, i2, scope, row_valid=None):
         values = scope.evaluate_raw(self.expressions[0])
         from . import array_types
+        from .ops.setops import _as_string_arrow
+        arrow = _as_string_arrow(values)
+        if arrow is not None:
+            # arrow-string chunks feed the set natively (no to_pylist blowup)
+            if row_valid is not None:
+                import pyarrow as pa
+                arrow = arrow.filter(pa.array(np.asarray(row_valid, bool)))
+            if self.set is None:
+                self.set = setops.SortedSet("string", keep_counts=self.keep_counts,
+                                            limit=self.limit)
+            self.set.update(arrow)
+            return
         data, mask = array_types.data_and_mask(values)
         if row_valid is not None:
             data = data[row_valid]
