@@ -23,6 +23,18 @@ from . import settings as _settings
 if _settings.X64:
     _jax.config.update("jax_enable_x64", True)
 
+if _settings.COMPILE_CACHE:
+    # persistent XLA compile cache: pass programs (sorts, channel kernels)
+    # compile once per (shape, task-set) EVER, not once per process — on a
+    # tunneled/remote-compile TPU this turns 30-300s warmups into <1s loads
+    try:
+        _os.makedirs(_settings.COMPILE_CACHE, exist_ok=True)
+        _jax.config.update("jax_compilation_cache_dir", _settings.COMPILE_CACHE)
+        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        _jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    except Exception:  # cache is an optimization, never a hard dependency
+        pass
+
 import numpy as _np
 
 from .dataframe import DataFrame, register_dataframe_accessor  # noqa: E402

@@ -381,7 +381,7 @@ def _view_logical(grid, dtype_in):
     (reference: datetime mean via uint64 view cast back, agg.py:176-186)."""
     dt = DataType(dtype_in)
     if dt.is_datetime or dt.is_timedelta:
-        return grid.view(dt.numpy)
+        return np.asarray(grid).view(dt.numpy)  # jnp has no datetime view
     return grid
 
 
@@ -423,6 +423,7 @@ class OpFirst(AggOperation):
 
 
 class OpNUniquePresence(AggOperation):
+    host_finalize = True
     """nunique via a presence grid over (cell, value-ordinal): count nonzero
     per cell.  TPU-native replacement of the per-cell hashmaps in
     agg_hash_primitive.cpp:7-62; requires a prior set-build pass that exposes
@@ -494,6 +495,7 @@ class OpTopK(AggOperation):
     """
 
     name = "topk"
+    host_finalize = True  # fill-value masking in get_result is numpy
 
     def __init__(self, expressions, k, largest=True, **kwargs):
         super().__init__(expressions, **kwargs)
@@ -578,6 +580,7 @@ def _neg_order(col):
 
 
 class OpPercentile(AggOperation):
+    host_finalize = True  # get_result is host numpy math
     """Per-cell approximate percentile via a [G, B] binned count grid +
     histogram interpolation (reference: percentile_approx builds the same
     cumulative binned-count grid, dataframe.py:1419-1524 +
@@ -658,6 +661,7 @@ NUNIQUE_PRESENCE_MAX = 1 << 26
 
 
 class OpNUniqueSorted(AggOperation):
+    host_finalize = True
     """nunique for large (cells x values) products: carry the set of distinct
     (cell, value-ordinal) pairs as one sorted int64 array of static capacity
     min(row_count, cells*values) — each tile's pairs are merged by
@@ -764,6 +768,14 @@ class AggregatorDescriptor:
         """Schedule on the shared TaskAggregations; returns [promise]."""
         raise NotImplementedError
 
+    def prepare(self, df, binners):
+        """Queue any pre-pass statistics (minmax bounds/limits) as DELAYED
+        tasks.  GroupBy/BinBy call this for every descriptor before
+        ``add_tasks`` so all pre-passes fuse into ONE pass — a mid-queue
+        synchronous minmax would split the aggregation pass in two and
+        change its compile key between warm and steady-state runs."""
+        return None
+
     def _input_dtype(self, df):
         if self.expression is None or self.expression == "*":
             return DataType(np.dtype("int64"))
@@ -789,14 +801,21 @@ class AggregatorDescriptorBasic(AggregatorDescriptor):
             op = self.op_class(exprs, selection=self.selection, dtype_in=dtype_in,
                                **self.op_kwargs)
         if (self.op_class is OpSum and exprs and dtype_in.numpy.kind in "iu"):
+            # memo-read only: the pass itself was queued by prepare(); a
+            # synchronous minmax here would split the aggregation pass
+            op.value_bound = df._int_value_bound(self.expression, compute=False)
+        task = df.executor.schedule_aggregation(df, binners, op)
+        return [task]
+
+    def prepare(self, df, binners):
+        if self.op_class is OpSum and self.expression not in (None, "*"):
             from .ops.binners import grid_size
             # big grids: kernel/sort cost scales with limb-channel count, so
             # a (memoized) minmax pre-pass that proves the values small pays
             # for itself many times over
-            if binners and grid_size(binners) > 4096:
-                op.value_bound = df._int_value_bound(self.expression)
-        task = df.executor.schedule_aggregation(df, binners, op)
-        return [task]
+            if (binners and grid_size(binners) > 4096
+                    and self._input_dtype(df).numpy.kind in "iu"):
+                df._int_value_bound(self.expression, delay=True)
 
 
 class AggregatorDescriptorMean(AggregatorDescriptor):
@@ -940,11 +959,20 @@ class AggregatorDescriptorPercentile(AggregatorDescriptor):
         self.percentage = percentage
         self.percentile_shape = int(percentile_shape)
 
+    def prepare(self, df, binners):
+        if self._limits_promise is None:
+            self._limits_promise = df.minmax(self.expression, delay=True)
+
+    _limits_promise = None
+
     def add_tasks(self, df, binners, progress=None):
         from .ops.binners import grid_size
-        # limits pre-pass (executes any queued tasks of this pass early,
-        # which is harmless: their promises resolve in that first pass)
-        vmin, vmax = np.asarray(df.minmax(self.expression))
+        # limits pre-pass; normally resolved by the prepare() phase so it
+        # fuses with the other descriptors' pre-passes
+        if self._limits_promise is not None and getattr(self._limits_promise, "done", False):
+            vmin, vmax = np.asarray(self._limits_promise.get())
+        else:
+            vmin, vmax = np.asarray(df.minmax(self.expression))
         G = grid_size(binners) if binners else 1
         bins = self.percentile_shape
         max_elems = 1 << 26

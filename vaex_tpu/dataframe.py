@@ -1132,21 +1132,39 @@ class DataFrame:
         return float(np.nansum(terms))
 
     # -------------------------------------------------------------- set ops
-    def _int_value_bound(self, expression):
-        """(lo, hi) of an integer expression from a memoized minmax pass, or
-        None when it cannot be computed cheaply.  Used to shrink exact-sum
-        limb channel counts (kernel/sort cost is linear in channels)."""
+    def _int_value_bound(self, expression, compute=True, delay=False):
+        """(lo, hi) of an integer expression from a memoized minmax pass.
+
+        Used to shrink exact-sum limb channel counts (kernel/sort cost is
+        linear in channels).  ``delay=True`` queues the minmax as a delayed
+        task (descriptor ``prepare`` phase — all pre-passes fuse into one);
+        ``compute=False`` only reads the memo / an already-resolved promise,
+        never triggering a pass (safe mid-task-queueing)."""
+        from .delayed import Promise
         expression = str(expression)
         memo = getattr(self.executor, "_minmax_memo", None)
         if memo is None:
             memo = self.executor._minmax_memo = {}
         key = (self.fingerprint(), expression)
-        if key not in memo:
-            try:
-                lo, hi = np.asarray(self.minmax(expression))
-                memo[key] = (int(lo), int(hi))
-            except Exception:
-                memo[key] = None
+        val = memo.get(key)
+        if isinstance(val, Promise) or hasattr(val, "then"):
+            if getattr(val, "done", False) and val.exception is None:
+                lo, hi = np.asarray(val.get())
+                memo[key] = val = (int(lo), int(hi))
+            elif not compute:
+                return None
+        if key in memo and isinstance(memo[key], (tuple, type(None))):
+            return memo[key]
+        if delay:
+            memo[key] = self.minmax(expression, delay=True)
+            return None
+        if not compute:
+            return None
+        try:
+            lo, hi = np.asarray(self.minmax(expression))
+            memo[key] = (int(lo), int(hi))
+        except Exception:
+            memo[key] = None
         return memo[key]
 
     def _set(self, expression, keep_counts=False, limit=None, limit_raise=True,

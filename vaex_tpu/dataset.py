@@ -440,9 +440,13 @@ class DatasetFile(Dataset):
         self._row_count = len(column)
 
     def _compute_fingerprint(self) -> str:
-        import os
-        stat = os.stat(self.path)
-        return fingerprint("dataset-file", str(self.path), stat.st_size, stat.st_mtime)
+        if os.path.exists(str(self.path)):
+            stat = os.stat(self.path)
+            return fingerprint("dataset-file", str(self.path), stat.st_size, stat.st_mtime)
+        # remote url: identity from the url + shape (block cache keys carry
+        # the remote mtime/size already)
+        return fingerprint("dataset-file-remote", str(self.path), self._row_count,
+                           sorted(self._columns))
 
     # -- content hashes + sidecar cache (reference dataset.py:1489-1596) ----
     def _hash_sidecar_path(self):

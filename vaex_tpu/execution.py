@@ -264,13 +264,18 @@ class ExecutorLocal(Executor):
             resident = dataset.device_columns(tile_inputs)
         if resident is not None:
             self.whole_passes = getattr(self, "whole_passes", 0) + 1
-            whole = self._get_whole_pass(
-                df, device_tasks, tile_inputs, host_expr_by_slot, set_variables,
-                filter_expr if filter_on_device else None, T, n_total)
-            states = whole(states, resident, aux)
+            from .utils import trace
+            with trace("whole-pass build+key"):
+                whole = self._get_whole_pass(
+                    df, device_tasks, tile_inputs, host_expr_by_slot, set_variables,
+                    filter_expr if filter_on_device else None, T, n_total)
+            with trace("whole-pass dispatch+run"):
+                states = whole(states, resident, aux)
+                states = jax.block_until_ready(states)
             self.signal_progress.emit(1.0)
-            self._finalize_pass(df, device_tasks, host_tasks, states,
-                                outputs_per_task, n_total, T, t_start)
+            with trace("whole-pass finalize"):
+                self._finalize_pass(df, device_tasks, host_tasks, states,
+                                    outputs_per_task, n_total, T, t_start)
             return
 
         step = None
@@ -352,10 +357,15 @@ class ExecutorLocal(Executor):
     def _finalize_pass(self, df, device_tasks, host_tasks, states,
                        outputs_per_task, n_total, T, t_start):
         from .cache import store as cache_store
-        # finalize: fetch ALL accumulator state + outputs in one transfer (a
-        # device fetch costs a full round-trip: ~30ms over the axon tunnel)
-        states_host, outputs_host = jax.device_get(
-            (states, [[o for o, n in outs] for outs in outputs_per_task]))
+        # finalize: per-tile outputs come to the host in one transfer (a
+        # device fetch costs a full round-trip: ~30ms over the axon tunnel);
+        # accumulator STATE stays in HBM unless the task's ops need host
+        # math — big result grids (1e7-group counts/sums) then land directly
+        # as device-resident result columns, and the D2H copy (11.9s for
+        # 160MB through the tunnel) only happens if the user materializes
+        outputs_host = jax.device_get([[o for o, n in outs] for outs in outputs_per_task])
+        states_host = [jax.device_get(s) if getattr(t, "host_finalize", True) else s
+                       for t, s in zip(device_tasks, states)]
         for task, state, outputs, outs_host in zip(device_tasks, states_host,
                                                    outputs_per_task, outputs_host):
             if getattr(task, "trim_outputs", True):
@@ -394,7 +404,9 @@ class ExecutorLocal(Executor):
             [t.fingerprint() for t in device_tasks], tile_inputs,
             sorted(host_expr_by_slot.items()), device_filter_expr,
             host_filter is not None, tile_rows,
-            {k: (len(s.keys), s.has_nan, s.has_null, str(s.keys.dtype)) for k, s in set_variables.items()},
+            # n_keys/dtype, NOT len(s.keys): touching .keys forces the lazy
+            # D2H copy of device-built sets (80MB+ through the tunnel)
+            {k: (s.n_keys, s.has_nan, s.has_null, str(s.dtype)) for k, s in set_variables.items()},
             df._virtual_state_fingerprint(),
             # non-set variables are baked into the trace as constants, so the
             # cached step must be keyed on their values

@@ -425,6 +425,18 @@ def _should_combine(groupers, combine):
     return product > 1_000_000
 
 
+def _run_prepare_phase(df, binners, parsed):
+    """Give every descriptor its pre-pass (minmax bounds/limits) and run
+    them fused as ONE pass, before any aggregation task is queued — so the
+    aggregation pass's task set (and hence its compile key) is identical
+    between first and repeat runs."""
+    for _, desc in parsed:
+        desc.prepare(df, binners)
+    if df.executor.tasks:
+        with trace("agg prepare pre-pass"):
+            df.execute()
+
+
 class GroupBy(GroupByBase):
     """df.groupby (reference groupby.py:479)."""
 
@@ -432,6 +444,7 @@ class GroupBy(GroupByBase):
         from . import from_dict
         from .delayed import delayed
         parsed = self._parse_actions(actions)
+        _run_prepare_phase(self.df, self.binners, parsed)
         promises = []
         has_count_star = any(desc.name == "count" and desc.expression in (None, "*")
                              and desc.selection is None for _, desc in parsed)
@@ -455,14 +468,15 @@ class GroupBy(GroupByBase):
         counts = None
         ndim = len(self.binners)
         for name, desc, p in promises:
-            grid = np.asarray(p.get())
-            grid = agg_module.extract_central(grid, ndim)
+            # grids may be device-resident (big whole-pass results stay in
+            # HBM); assemble only pulls what host logic actually needs
+            grid = agg_module.extract_central(p.get(), ndim)
             grids[name] = grid
             if (desc.name == "count" and desc.expression in (None, "*")
                     and desc.selection is None):
                 counts = grid
         if counts is None and count_promise is not None:
-            counts = agg_module.extract_central(np.asarray(count_promise.get()), ndim)
+            counts = agg_module.extract_central(count_promise.get(), ndim)
 
         with trace("groupby assemble"):
             return self._assemble(grids, counts)
@@ -490,14 +504,17 @@ class GroupBy(GroupByBase):
                 if g.sort_indices is not None:
                     grid = grid[g.sort_indices]
                 if keep is not None:
-                    grid = grid[keep]
+                    # boolean compaction is dynamic-shape: host-side
+                    grid = np.asarray(grid)[keep]
                 columns[name] = grid
             columns[self.by_names[0]] = bin_values[keep] if keep is not None else bin_values
             columns = {self.by_names[0]: columns[self.by_names[0]],
                        **{k: v for k, v in columns.items() if k != self.by_names[0]}}
         else:
             # dense cartesian grid: drop empty cells using the count grid
-            # (reference groupby.py:488-529)
+            # (reference groupby.py:488-529) — host-side compaction
+            counts = np.asarray(counts)
+            grids = {name: np.asarray(grid) for name, grid in grids.items()}
             mask = counts.ravel() > 0
             index_arrays = np.unravel_index(np.flatnonzero(mask), counts.shape)
             for name, g, idx in zip(self.by_names, self.by, index_arrays):
@@ -591,6 +608,7 @@ class BinBy(GroupByBase):
 
     def agg(self, actions, merge=False, delay=False):
         parsed = self._parse_actions(actions)
+        _run_prepare_phase(self.df, self.binners, parsed)
         promises = []
         for name, desc in parsed:
             desc.edges = True

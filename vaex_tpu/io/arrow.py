@@ -49,9 +49,17 @@ class ParquetDataset(DatasetFile):
     """Lazy parquet: row groups stream on demand (reference
     vaex/arrow/dataset.py:69-188 fragment-based _chunk_producer)."""
 
-    def __init__(self, path):
+    def __init__(self, path, filesystem=None):
         super().__init__(path)
-        self._file = pq.ParquetFile(path)
+        if filesystem is not None:
+            # remote: pyarrow issues ranged reads through the fsspec handle,
+            # so row groups stream lazily (reference vaex/file + arrow fs)
+            self._file = pq.ParquetFile(filesystem.open(str(path).split("://", 1)[1]
+                                                        if "://" in str(path) else path, "rb"))
+            self._remote = True
+        else:
+            self._file = pq.ParquetFile(path)
+            self._remote = False
         self._row_count = self._file.metadata.num_rows
         schema = self._file.schema_arrow
         self._schema = schema

@@ -22,15 +22,23 @@ from ..dataset import DatasetFile
 
 
 class Hdf5Dataset(DatasetFile):
-    """Memory-mapped vaex-layout hdf5 file."""
+    """Memory-mapped vaex-layout hdf5 file.
 
-    def __init__(self, path):
+    With ``cached=`` (an :class:`~vaex_tpu.io.remote.CachedFile`) the file is
+    a remote object behind a 1 MiB block cache: h5py parses metadata through
+    the file-like handle, and columns become
+    :class:`~vaex_tpu.io.remote.ColumnBlockedRemote` that fault in only the
+    byte ranges a query touches (reference: vaex/file/cache.py:19-50 +
+    vaex/file/column.py ColumnFile)."""
+
+    def __init__(self, path, cached=None):
         super().__init__(path)
         assert h5py is not None, "h5py is required for hdf5 files"
+        self._cached = cached
         self._load()
 
     def _load(self):
-        with h5py.File(self.path, "r") as f:
+        with h5py.File(self._cached if self._cached is not None else self.path, "r") as f:
             root = None
             for candidate in ("table/columns", "columns", "data"):
                 if candidate in f:
@@ -60,12 +68,25 @@ class Hdf5Dataset(DatasetFile):
             data = ds.asstr()[:]
             return pa.array([None if v is None else str(v) for v in data])
         offset = ds.id.get_offset()
+        logical = ds.attrs.get("dtype")
+        if self._cached is not None:
+            if (offset is None or ds.compression is not None or mask_ds is not None
+                    or (logical is not None and np.dtype(logical).kind in "Mm")):
+                # compressed/masked/datetime remote columns: read eagerly
+                # through the block cache (still only this column's blocks)
+                data = ds[:]
+                if logical is not None and np.dtype(logical).kind in "Mm":
+                    data = data.view(np.dtype(logical))
+                if mask_ds is not None:
+                    return np.ma.MaskedArray(data, ~mask_ds[:].astype(bool))
+                return data
+            from .remote import ColumnBlockedRemote
+            return ColumnBlockedRemote(self._cached, offset, ds.dtype, ds.shape[0])
         if offset is None or ds.compression is not None:
             data = ds[:]
         else:
             data = np.memmap(self.path, dtype=ds.dtype, shape=ds.shape,
                              offset=offset, mode="r")
-        logical = ds.attrs.get("dtype")
         if logical is not None and np.dtype(logical).kind in "Mm":
             data = data.view(np.dtype(logical))
         if mask_ds is not None:

@@ -342,12 +342,43 @@ def max_identity(dtype):
 
 
 def segment_ends(sorted_key, n_bins):
-    """Row index of each of the first ``n_bins`` segment ends."""
+    """Row index of each of the first ``n_bins`` segment ends.
+
+    Scatter formulation: each end-flagged row writes its row index at its
+    segment rank — ~7x faster than ``nonzero(size=n_bins)`` at N=1e7 on TPU
+    (an i32 scatter vs nonzero's sort-like compaction)."""
     import jax
     N = sorted_key.shape[0]
     end_flag = jnp.concatenate([sorted_key[1:] != sorted_key[:-1],
                                 jnp.ones(1, bool)])
-    return jnp.nonzero(end_flag, size=n_bins, fill_value=N - 1)[0]
+    # rank of each end among the ends = exclusive cumsum of flags
+    rank = jnp.cumsum(end_flag.astype(jnp.int32)) - 1
+    idx = jnp.where(end_flag, rank, jnp.int32(n_bins))
+    rows = jnp.arange(N, dtype=jnp.int32)
+    ends = jnp.full(n_bins, N - 1, jnp.int32).at[idx].set(rows, mode="drop")
+    return ends
+
+
+def prefix_at(scols, ends, block=1024):
+    """Inclusive prefix sums of ``scols`` [N, A] sampled at row indices
+    ``ends`` — via a TWO-LEVEL blocked cumsum instead of a full-length
+    associative scan: the within-block cumsum is one short-axis scan and the
+    block-total cumsum is tiny, so the compiled program stays small at
+    N=1e7 (the full-N emulated-f64 scan OOM-killed the tunneled AOT
+    compiler; that was the DENSE_RANK_MAX_ROWS=4M cap)."""
+    import jax
+    N, A = scols.shape
+    nb = -(-N // block)
+    pad = nb * block - N
+    if pad:
+        scols = jnp.concatenate([scols, jnp.zeros((pad, A), scols.dtype)])
+    blocked = scols.reshape(nb, block, A)
+    within = jnp.cumsum(blocked, axis=1)                     # [nb, block, A]
+    totals = within[:, -1, :]                                # [nb, A]
+    block_prefix = jnp.cumsum(totals, axis=0) - totals       # exclusive [nb, A]
+    b = ends // block
+    r = ends - b * block
+    return block_prefix[b] + within[b, r]                    # [len(ends), A]
 
 
 def dense_rank_additive(key, cols, n_bins):
@@ -361,12 +392,8 @@ def dense_rank_additive(key, cols, n_bins):
     N, A = cols.shape
     out = jax.lax.sort((key,) + tuple(cols[:, a] for a in range(A)), num_keys=1)
     ends = segment_ends(out[0], n_bins)
-    # ONE batched associative_scan for all columns (not jnp.cumsum: the
-    # reduce-window lowering of an emulated-f64 cumsum blows the 16MB
-    # scoped-VMEM limit at N=1e7; not per-column: 24 scan levels per column
-    # bloat the compile)
     scols = jnp.stack(out[1:], axis=1)                       # [N, A]
-    upper = jax.lax.associative_scan(jnp.add, scols, axis=0)[ends]
+    upper = prefix_at(scols, ends)
     return jnp.diff(upper, axis=0, prepend=jnp.zeros((1, A), upper.dtype)), ends
 
 

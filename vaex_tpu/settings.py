@@ -31,6 +31,12 @@ TILE_ROWS = _int_env("VAEX_TPU_TILE_ROWS", 1 << 19)
 TILE_ROWS_MIN = _int_env("VAEX_TPU_TILE_ROWS_MIN", 1024)
 TILE_ROWS_MAX = _int_env("VAEX_TPU_TILE_ROWS_MAX", 1 << 22)
 CACHE = os.environ.get("VAEX_TPU_CACHE", "memory")
+# persistent XLA compilation cache dir ('' / '0' disables)
+COMPILE_CACHE = os.environ.get(
+    "VAEX_TPU_COMPILE_CACHE",
+    os.path.join(os.path.expanduser("~"), ".vaex_tpu", "jax_cache"))
+if COMPILE_CACHE in ("0", "off", "disabled"):
+    COMPILE_CACHE = ""
 CACHE_DISK_PATH = os.environ.get("VAEX_TPU_CACHE_DISK_PATH",
                                  os.path.join(os.path.expanduser("~"), ".vaex_tpu", "cache"))
 CACHE_DISK_SIZE_LIMIT = _int_env("VAEX_TPU_CACHE_DISK_SIZE_LIMIT", 10 << 30)

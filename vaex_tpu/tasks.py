@@ -122,10 +122,10 @@ class TaskAggregations(Task):
     # grids past this always ride the sort path, where one whole-table tile
     # beats any tiling (per-tile cost is O(G), not O(tile))
     WHOLE_TILE_MIN_G = 1 << 21
-    # the dense-rank carried-sort program (5+ f64 operands + batched scan)
-    # OOM-kills the tunneled AOT compiler at 1e7 rows; cap until the
-    # program is restructured (or a persistent compile cache lands)
-    DENSE_RANK_MAX_ROWS = 1 << 22
+    # the carried-sort program compiles fine at 1e7+ rows now that the
+    # full-N associative scan is a two-level blocked cumsum
+    # (gridagg.prefix_at); the cap only guards truly pathological sizes
+    DENSE_RANK_MAX_ROWS = 1 << 27
 
     def preferred_tile_rows(self, n_total):
         from .ops.binners import grid_size
@@ -344,12 +344,21 @@ class TaskAggregations(Task):
             return fuse_bins(self.binners, indices)
         return jnp.zeros(ctx.n_rows, jnp.int32)
 
+    @property
+    def host_finalize(self):
+        """True when any op's get_result needs host numpy math; otherwise
+        the accumulator grids stay device-resident all the way into the
+        result DataFrame (the D2H copy happens only on materialization)."""
+        return any(getattr(op, "host_finalize", False) for op in self.subtasks)
+
     def finalize(self, state, outputs):
         from .ops.binners import grid_shape
         shape = grid_shape(self.binners)
         results = []
         for op, s in zip(self.subtasks, state):
-            grid = op.get_result([np.asarray(x) for x in s])
+            if getattr(op, "host_finalize", False):
+                s = [np.asarray(x) for x in s]
+            grid = op.get_result(list(s))
             results.append(grid.reshape(shape + grid.shape[1:]) if self.binners else grid.reshape(shape))
         self.fulfill(results)
         for sub, r in zip(self.subtask_promises, results):
