@@ -100,14 +100,15 @@ def test_shuffle_overflow_detection():
     from vaex_tpu.parallel.shuffle import shuffle_groupby
 
     # all rows share one key -> every row goes to one device: must overflow
-    # at low slack and raise
+    # at low slack and raise when retries are disabled
     N, G = 4096, 64
     df = vt.from_arrays(k=np.zeros(N, "i8"), x=np.ones(N))
     mesh = data_mesh()
     with pytest.raises(RuntimeError):
-        shuffle_groupby(df, "astype(k, 'int32')", ["x"], G, mesh, slack=1)
-    out = shuffle_groupby(df, "astype(k, 'int32')", ["x"], G, mesh,
-                          slack=8 * len(jax.devices()))
+        shuffle_groupby(df, "astype(k, 'int32')", ["x"], G, mesh, slack=1,
+                        max_retries=0)
+    # the default slack-doubling retry absorbs the skew automatically
+    out = shuffle_groupby(df, "astype(k, 'int32')", ["x"], G, mesh, slack=1)
     assert out["count"][0] == N
 
 
@@ -154,3 +155,30 @@ def test_mesh_join_end_to_end():
                                b=np.array([1.0, 2.0, 3.0]))
     with pytest.raises(ValueError):
         left.join(right_dup, on="k", mesh=mesh)
+
+
+def test_groupby_auto_shuffle_route(monkeypatch):
+    import jax
+    if len(jax.devices()) < 2:
+        pytest.skip("needs multiple devices")
+    import vaex_tpu.groupby as gb
+    from vaex_tpu.parallel import distributed_executor
+    monkeypatch.setattr(gb, "SHUFFLE_MIN_G", 10)  # force the shuffle route
+    rng = np.random.default_rng(5)
+    n = 4000
+    k = rng.integers(0, 300, n).astype("i8") * 7  # non-dense keys -> set grouper
+    x = rng.random(n)
+    v = rng.integers(1, 6, n).astype("i8")
+    df = vt.from_arrays(k=k, x=x, v=v)
+    df.executor = distributed_executor()
+    out = df.groupby("k", agg={"s": vt.agg.sum("x"), "c": "count",
+                               "m": vt.agg.mean("x"), "vs": vt.agg.sum("v")},
+                     sort=True)
+    import pandas as pd
+    oracle = pd.DataFrame({"k": k, "x": x, "v": v}).groupby("k").agg(
+        s=("x", "sum"), c=("x", "size"), m=("x", "mean"), vs=("v", "sum"))
+    npt.assert_array_equal(np.asarray(out["k"].tolist()), oracle.index.to_numpy())
+    npt.assert_allclose(np.asarray(out["s"].tolist()), oracle["s"].to_numpy(), rtol=1e-9)
+    npt.assert_array_equal(np.asarray(out["c"].tolist()), oracle["c"].to_numpy())
+    npt.assert_allclose(np.asarray(out["m"].tolist()), oracle["m"].to_numpy(), rtol=1e-9)
+    npt.assert_array_equal(np.asarray(out["vs"].tolist()), oracle["vs"].to_numpy())

@@ -76,7 +76,8 @@ class OpCount(AggOperation):
     name = "count"
 
     def initial_state(self, G):
-        return (np.zeros(G, np.int64),)
+        import jax.numpy as jnp
+        return (jnp.zeros(G, jnp.int64),)
 
     def update(self, state, flat_idx, ctx):
         valid = self._valid(ctx)
@@ -140,7 +141,8 @@ class OpSum(AggOperation):
                             int(abs(int(hi))).bit_length()) + 1
 
     def initial_state(self, G):
-        return (np.zeros(G, DataType(self.dtype_in).upcast().numpy),)
+        import jax.numpy as jnp
+        return (jnp.zeros(G, DataType(self.dtype_in).upcast().numpy),)
 
     def update(self, state, flat_idx, ctx):
         x = ctx.expr(self.expressions[0])
@@ -278,7 +280,8 @@ class OpSumMoment(AggOperation):
         return fingerprint(super().fingerprint(), self.moment)
 
     def initial_state(self, G):
-        return (np.zeros(G, np.float64),)
+        import jax.numpy as jnp
+        return (jnp.zeros(G, jnp.float64),)
 
     def update(self, state, flat_idx, ctx):
         x = ctx.expr(self.expressions[0])
@@ -312,8 +315,9 @@ class OpMin(AggOperation):
     name = "min"
 
     def initial_state(self, G):
+        import jax.numpy as jnp
         dt = DataType(self.dtype_in).device  # datetimes ride as int64
-        return (np.full(G, gridagg.min_identity(dt), dt),)
+        return (jnp.full(G, gridagg.min_identity(dt), dt),)
 
     def update(self, state, flat_idx, ctx):
         x = ctx.expr(self.expressions[0])
@@ -346,8 +350,9 @@ class OpMax(AggOperation):
     name = "max"
 
     def initial_state(self, G):
+        import jax.numpy as jnp
         dt = DataType(self.dtype_in).device
-        return (np.full(G, gridagg.max_identity(dt), dt),)
+        return (jnp.full(G, gridagg.max_identity(dt), dt),)
 
     def update(self, state, flat_idx, ctx):
         x = ctx.expr(self.expressions[0])
@@ -389,8 +394,11 @@ class OpFirst(AggOperation):
     name = "first"
 
     def initial_state(self, G):
+        import jax.numpy as jnp
         dt = DataType(self.dtype_in).numpy
-        return (np.zeros(G, dt), np.full(G, np.inf, np.float64))
+        if dt.kind in "Mm":
+            dt = np.dtype("i8")
+        return (jnp.zeros(G, dt), jnp.full(G, np.inf, jnp.float64))
 
     def update(self, state, flat_idx, ctx):
         x = ctx.expr(self.expressions[0])
@@ -446,8 +454,9 @@ class OpNUniquePresence(AggOperation):
                            self.dropnan, self.dropmissing)
 
     def initial_state(self, G):
+        import jax.numpy as jnp
         n = self.n_values if self.n_values > 1 else 1
-        return (np.zeros(G * n, bool), np.zeros(G, np.int64))
+        return (jnp.zeros(G * n, bool), jnp.zeros(G, jnp.int64))
 
     def update(self, state, flat_idx, ctx):
         import jax.numpy as jnp
@@ -510,8 +519,9 @@ class OpTopK(AggOperation):
         return gridagg.max_identity(dt) if self.largest else gridagg.min_identity(dt)
 
     def initial_state(self, G):
+        import jax.numpy as jnp
         dt = DataType(self.dtype_in).device
-        return (np.full((G, self.k), self._fill(), dt),)
+        return (jnp.full((G, self.k), self._fill(), dt),)
 
     def _tile_topk(self, flat_idx, ctx):
         import jax
@@ -602,7 +612,8 @@ class OpPercentile(AggOperation):
                            self.vmin, self.vmax, self.bins)
 
     def initial_state(self, G):
-        return (np.zeros(G * self.bins, np.int32),)
+        import jax.numpy as jnp
+        return (jnp.zeros(G * self.bins, jnp.int32),)
 
     def update(self, state, flat_idx, ctx):
         import jax.numpy as jnp
@@ -689,9 +700,10 @@ class OpNUniqueSorted(AggOperation):
                            self.dropmissing)
 
     def initial_state(self, G):
+        import jax.numpy as jnp
         self._G = int(G)
         cap = builtins.max(builtins.min(self.row_bound, G * self.n_values), 1)
-        return (np.full(cap, _PAIR_SENTINEL, np.int64),)
+        return (jnp.full(cap, _PAIR_SENTINEL, jnp.int64),)
 
     @staticmethod
     def _dedup_sorted(pairs):

@@ -160,6 +160,7 @@ class GrouperCombined:
         self.N = self.set.n_keys
         var = df.add_variable("grouper_set", self.set, unique=True)
         self.binby_expression = f"_ordinal_values({self.expression}, {var})"
+        self.ordinal_expression = self.binby_expression
         self.binner = BinnerOrdinal(self.binby_expression, 0, self.N,
                                     raw_expression=self.expression, dense_rank=True)
         self.sort_indices = None
@@ -437,13 +438,102 @@ def _run_prepare_phase(df, binners, parsed):
             df.execute()
 
 
+# mesh groupby: above this cardinality the replicated-grid + psum merge
+# (every device holds all G cells) loses to the all-to-all shuffle where
+# each device owns G/D cells (reference's combine='auto' occupancy
+# heuristic, groupby.py:316-328, re-cast for SPMD)
+SHUFFLE_MIN_G = int(__import__("os").environ.get("VAEX_TPU_SHUFFLE_MIN_G", 65536))
+
+
 class GroupBy(GroupByBase):
     """df.groupby (reference groupby.py:479)."""
+
+    def _try_shuffle_agg(self, parsed):
+        """Mesh + high-cardinality: route to the all-to-all shuffle
+        (parallel/shuffle.py) instead of replicated grids.  Returns the
+        result DataFrame, or None when the query shape doesn't qualify
+        (then the replicated-grid path runs).  Sums ride f64 through the
+        shuffle (exact to 2^53; the reference's float sums carry the same
+        order-nondeterminism, SURVEY §2.4)."""
+        mesh = getattr(self.df.executor, "mesh", None)
+        if mesh is None or mesh.size <= 1 or len(self.by) != 1:
+            return None
+        g = self.by[0]
+        G = int(getattr(g, "N", 0))
+        if G <= SHUFFLE_MIN_G:
+            return None
+        ordinal = getattr(g, "ordinal_expression", None)
+        if ordinal is None:
+            return None
+        plan = []  # (out_name, kind, payload)
+        for name, desc in parsed:
+            if desc.selection is not None:
+                return None
+            e = desc.expression
+            if desc.name == "count" and e in (None, "*"):
+                plan.append((name, "count_star", None))
+            elif desc.name == "count":
+                plan.append((name, "sum", f"astype(notna({e}), 'float64')"))
+            elif desc.name == "sum":
+                plan.append((name, "sumcast",
+                             (f"where(notna({e}), astype({e}, 'float64'), 0.0)",
+                              DataType(self.df.data_type(e)))))
+            elif desc.name == "mean":
+                plan.append((name, "mean",
+                             (f"where(notna({e}), astype({e}, 'float64'), 0.0)",
+                              f"astype(notna({e}), 'float64')")))
+            else:
+                return None
+        value_exprs = []
+        for _, kind, payload in plan:
+            if kind == "sum":
+                value_exprs.append(payload)
+            elif kind == "sumcast":
+                value_exprs.append(payload[0])
+            elif kind == "mean":
+                value_exprs.extend(payload)
+        value_exprs = list(dict.fromkeys(value_exprs))
+        from .parallel.shuffle import shuffle_groupby
+        with trace("shuffle groupby (all-to-all)"):
+            out = shuffle_groupby(self.df, ordinal, value_exprs, G, mesh)
+        from . import from_dict
+        columns = {}
+        keep = None
+        if getattr(g, "dense", False):
+            keep = out["count"] > 0
+        if self.combined is not None:
+            for name, values in zip(self.by_names, self.combined.bin_values_per_key):
+                columns[name] = np.asarray(values)
+        else:
+            columns[self.by_names[0]] = g.bin_values
+        for name, kind, payload in plan:
+            if kind == "count_star":
+                col = out["count"].astype(np.int64)
+            elif kind == "sum":
+                col = out[payload].astype(np.int64)
+            elif kind == "sumcast":
+                col = out[payload[0]]
+                if payload[1].numpy.kind in "iu":
+                    col = col.astype(payload[1].upcast().numpy)
+            else:
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    col = out[payload[0]] / out[payload[1]]
+            columns[name] = col
+        if g.sort_indices is not None:
+            columns = {k: np.asarray(v)[g.sort_indices] for k, v in columns.items()}
+        if keep is not None:
+            if g.sort_indices is not None:
+                keep = keep[g.sort_indices]
+            columns = {k: np.asarray(v)[keep] for k, v in columns.items()}
+        return from_dict(columns)
 
     def agg(self, actions, delay=False):
         from . import from_dict
         from .delayed import delayed
         parsed = self._parse_actions(actions)
+        routed = self._try_shuffle_agg(parsed)
+        if routed is not None:
+            return routed
         _run_prepare_phase(self.df, self.binners, parsed)
         promises = []
         has_count_star = any(desc.name == "count" and desc.expression in (None, "*")

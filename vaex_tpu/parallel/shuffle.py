@@ -97,10 +97,13 @@ def shuffle_additive_grids(mesh, codes, cols, G, slack=4):
     return grids[:G], dropped
 
 
-def shuffle_groupby(df, key_ordinal_expression, value_columns, G, mesh, slack=4):
+def shuffle_groupby(df, key_ordinal_expression, value_columns, G, mesh, slack=4,
+                    max_retries=3):
     """High-level: evaluate ordinals + value columns, shuffle-aggregate.
 
-    Returns {column: [G] numpy} of sums (count rides as a ones column)."""
+    Returns {column: [G] numpy} of sums (count rides as a ones column).
+    Skewed key distributions that overflow the per-bucket capacity retry
+    with doubled slack (same policy as shuffle_join, parallel/join.py)."""
     codes = jnp.asarray(np.asarray(df.evaluate(key_ordinal_expression, array_type="numpy"),
                                    dtype=np.int32))
     N = codes.shape[0]
@@ -116,9 +119,11 @@ def shuffle_groupby(df, key_ordinal_expression, value_columns, G, mesh, slack=4)
         codes = jnp.concatenate([codes, jnp.full(pad, G, jnp.int32)])
         cols = [jnp.concatenate([c, jnp.zeros(pad, c.dtype)]) for c in cols]
     stacked = jnp.stack(cols, axis=1)
-    grids, dropped = shuffle_additive_grids(mesh, codes, stacked, G, slack=slack)
-    if int(dropped):
-        raise RuntimeError(f"shuffle overflow: {int(dropped)} rows dropped; "
-                           f"retry with more slack")
-    out = np.asarray(grids)
-    return {name: out[:, i] for i, name in enumerate(names)}
+    for attempt in range(max_retries + 1):
+        grids, dropped = shuffle_additive_grids(mesh, codes, stacked, G, slack=slack)
+        if not int(dropped):
+            out = np.asarray(grids)
+            return {name: out[:, i] for i, name in enumerate(names)}
+        slack *= 2  # skew: double per-bucket capacity and re-shuffle
+    raise RuntimeError(f"shuffle overflow after {max_retries} slack doublings: "
+                       f"{int(dropped)} rows still dropped (pathological key skew)")
