@@ -71,3 +71,31 @@ def test_wholepass_trimmed_range(dev_df):
     sub = df[100:900]
     got = float(np.asarray(sub.sum("x")))
     np.testing.assert_allclose(got, x[100:900].sum(), rtol=1e-12)
+
+
+def test_wholepass_progress_and_cancel():
+    """Whole-pass programs chunk into multiple dispatches when someone
+    listens to progress, and honor cancellation mid-pass."""
+    import pytest
+    import vaex_tpu as vt
+    from vaex_tpu.execution import UserAbort
+    n = 64 * 1024
+    df = vt.from_arrays(x=np.arange(n, dtype="f8"),
+                        g=(np.arange(n) % 16).astype("i8")).to_device()
+    df._tile_rows = 1024  # 64 tiles -> 8 chunks of 8
+    seen = []
+    df.executor.signal_progress.connect(lambda p: seen.append(p) or True)
+    assert float(np.asarray(df.sum("x"))) == float(np.arange(n).sum())
+    assert len(seen) >= 8  # several intermediate progress points
+    assert seen[-1] == 1.0
+
+    # cancellation: return False after the first chunk
+    df2 = vt.from_arrays(x=np.arange(n, dtype="f8")).to_device()
+    df2._tile_rows = 1024
+    calls = []
+    df2.executor.signal_progress.connect(lambda p: calls.append(p) or len(calls) < 2)
+    s = df2.sum("x", delay=True)
+    df2.execute()  # cancellation rejects the promise, execute returns
+    assert len(calls) < 64  # stopped well before all 64 tiles
+    with pytest.raises(UserAbort):
+        s.get()

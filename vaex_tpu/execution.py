@@ -130,6 +130,9 @@ class Executor:
 
 
 class ExecutorLocal(Executor):
+    # whole-pass cancellation/progress granularity (tiles per dispatch)
+    WHOLE_PASS_CHUNK_TILES = 8
+
     def __init__(self, mesh=None):
         super().__init__()
         self.mesh = mesh
@@ -269,9 +272,29 @@ class ExecutorLocal(Executor):
                 whole = self._get_whole_pass(
                     df, device_tasks, tile_inputs, host_expr_by_slot, set_variables,
                     filter_expr if filter_on_device else None, T, n_total)
+            n_tiles = -(-n_total // T)
+            # progress/cancel granularity: one dispatch per CHUNK_TILES tiles
+            # when someone is listening (reference execution.py:253-258 emits
+            # per chunk); otherwise one dispatch for the whole pass
+            observed = bool(self.signal_progress.callbacks)
+            chunk = self.WHOLE_PASS_CHUNK_TILES if observed else n_tiles
             with trace("whole-pass dispatch+run"):
-                states = whole(states, resident, aux)
+                cancelled = False
+                for t0 in range(0, n_tiles, max(chunk, 1)):
+                    t1 = min(t0 + chunk, n_tiles)
+                    states = whole(states, resident, aux, np.int32(t0), np.int32(t1))
+                    if observed:
+                        states = jax.block_until_ready(states)
+                        progress = min(t1 * T / max(n_total, 1), 1.0)
+                        if any(r is False for r in self.signal_progress.emit(progress)):
+                            cancelled = True
+                            break
                 states = jax.block_until_ready(states)
+            if cancelled:
+                self.signal_cancel.emit()
+                for task in tasks:
+                    task.reject(UserAbort("user aborted"))
+                return
             self.signal_progress.emit(1.0)
             with trace("whole-pass finalize"):
                 self._finalize_pass(df, device_tasks, host_tasks, states,
@@ -483,7 +506,7 @@ class ExecutorLocal(Executor):
                              set_meta, device_filter_expr, tile_rows)
         n_tiles = -(-n_total // tile_rows)
 
-        def whole(states, cols, aux):
+        def whole(states, cols, aux, t0, t1):
             padded = n_tiles * tile_rows
             cols = {name: (jnp.pad(col, (0, padded - col.shape[0]))
                            if col.shape[0] != padded else col)
@@ -497,7 +520,9 @@ class ExecutorLocal(Executor):
                 states, _ = step(states, tile, n_valid, i1, aux, None)
                 return states
 
-            return jax.lax.fori_loop(0, n_tiles, body, states)
+            # [t0, t1) tile range: the executor chunks the pass into several
+            # dispatches when progress observers need cancellation points
+            return jax.lax.fori_loop(t0, t1, body, states)
 
         jitted = jax.jit(whole, donate_argnums=(0,),
                          compiler_options=_pass_compiler_options())
