@@ -110,3 +110,36 @@ def test_sort_strategy_large_grid():
     df = vt.from_arrays(i1=keys, x=x).categorize("i1", labels=list(range(k))).to_device()
     sums = df.sum("x", binby=["i1"])
     npt.assert_allclose(np.asarray(sums).sum(), x.sum(), rtol=1e-9)
+
+
+def test_partition_kernel_groupby():
+    """32K < G <= ~1M rides the partitioned two-phase kernel; exact counts
+    and int sums, 1e-9-class float sums."""
+    rng = np.random.default_rng(3)
+    n, k = 1_000_000, 100_000
+    keys = rng.integers(0, k, n).astype(np.int64)
+    x = rng.random(n) * 100
+    v = rng.integers(1, 6, n).astype(np.int64)
+    df = vt.from_arrays(i1=keys, x=x, v=v).categorize("i1", labels=list(range(k))).to_device()
+    out = df.groupby("i1", agg={"c": "count", "s": vt.agg.sum("x"),
+                                "vs": vt.agg.sum("v")}, sort=True)
+    cols = {name: np.asarray(out[name].tolist()) for name in ("i1", "c", "s", "vs")}
+    # categorical groupby keeps every category (empty ones included)
+    npt.assert_array_equal(cols["c"], np.bincount(keys, minlength=k))
+    npt.assert_array_equal(cols["vs"],
+                           np.bincount(keys, weights=v.astype(float), minlength=k))
+    npt.assert_allclose(cols["s"], np.bincount(keys, weights=x, minlength=k),
+                        rtol=1e-9, atol=1e-7)
+
+
+def test_partition_overflow_retry_sorted_keys():
+    """Pre-sorted keys cluster every block into one bucket -> guaranteed
+    capacity overflow -> the executor must rerun on the sort strategy and
+    still return the right answer."""
+    n, k = 1_000_000, 100_000
+    keys = np.sort(np.random.default_rng(4).integers(0, k, n)).astype(np.int64)
+    x = np.ones(n)
+    df = vt.from_arrays(i1=keys, x=x).categorize("i1", labels=list(range(k))).to_device()
+    out = df.groupby("i1", agg={"s": vt.agg.sum("x")}, sort=True)
+    want = np.bincount(keys, minlength=k)
+    npt.assert_allclose(np.asarray(out["s"].tolist()), want, rtol=1e-12)

@@ -79,9 +79,11 @@ def test_wholepass_progress_and_cancel():
     import pytest
     import vaex_tpu as vt
     from vaex_tpu.execution import UserAbort
+    from vaex_tpu.execution import ExecutorLocal
     n = 64 * 1024
     df = vt.from_arrays(x=np.arange(n, dtype="f8"),
                         g=(np.arange(n) % 16).astype("i8")).to_device()
+    df.executor = ExecutorLocal()  # private executor: callbacks stay local
     df._tile_rows = 1024  # 64 tiles -> 8 chunks of 8
     seen = []
     df.executor.signal_progress.connect(lambda p: seen.append(p) or True)
@@ -91,6 +93,7 @@ def test_wholepass_progress_and_cancel():
 
     # cancellation: return False after the first chunk
     df2 = vt.from_arrays(x=np.arange(n, dtype="f8")).to_device()
+    df2.executor = ExecutorLocal()
     df2._tile_rows = 1024
     calls = []
     df2.executor.signal_progress.connect(lambda p: calls.append(p) or len(calls) < 2)

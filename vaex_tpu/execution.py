@@ -148,6 +148,21 @@ class ExecutorLocal(Executor):
                 with trace(f"pass[{','.join(t.name for t in tasks)}]"):
                     self._execute_pass(df, tasks)
             except Exception as e:
+                from .tasks import PartitionOverflow
+                # host tasks accumulate per-chunk state during the pass, so a
+                # mixed pass cannot be safely rerun — device-only is the norm
+                # for aggregation passes
+                if isinstance(e, PartitionOverflow) and all(t.device for t in tasks):
+                    # clustered keys overflowed the partition kernel: rerun
+                    # this pass with the strategy disabled (sort path)
+                    logger.warning("partition overflow; retrying pass on the "
+                                   "sort strategy: %s", e)
+                    for task in tasks:
+                        task._no_partition = True
+                    from .utils import trace
+                    with trace(f"pass-retry[{','.join(t.name for t in tasks)}]"):
+                        self._execute_pass(df, tasks)
+                    continue
                 for task in tasks:
                     if not task.done:
                         task.reject(e)

@@ -240,24 +240,42 @@ def _take_bin_values(bin_values, ordinals):
 
 
 def _dense_candidates(names, df, row_limit):
-    """One fused minmax+count pass over ALL integer keys -> {name: (lo, hi, n)}."""
+    """One fused minmax+count pass over ALL integer keys -> {name: (lo, hi, n)}.
+
+    Memoized on the executor per (df fingerprint, name): repeated groupbys
+    over the same table skip the pre-pass entirely (it costs a dispatch +
+    result round-trip per query through a tunneled chip)."""
     if row_limit is not None:  # row_limit needs the exact observed group count
         return {}
     from .datatype import DataType
+    memo = getattr(df.executor, "_dense_candidate_memo", None)
+    if memo is None:
+        memo = df.executor._dense_candidate_memo = {}
+    df_fp = df.fingerprint()
+    out = {}
     pending = {}
     for name in names:
+        key = (df_fp, name)
+        if key in memo:
+            if memo[key] is not None:
+                out[name] = memo[key]
+            continue
         try:
             if DataType(df.data_type(name)).is_integer:
                 pending[name] = (df.minmax(name, delay=True), df.count(name, delay=True))
+            else:
+                memo[key] = None
         except Exception:
+            memo[key] = None
             continue
     if not pending:
-        return {}
+        return out
     df.execute()
-    out = {}
     for name, (mm, cnt) in pending.items():
         lo, hi = np.asarray(mm.get())
-        out[name] = (int(lo), int(hi), int(np.asarray(cnt.get())))
+        info = (int(lo), int(hi), int(np.asarray(cnt.get())))
+        memo[(df_fp, name)] = info
+        out[name] = info
     return out
 
 
@@ -585,7 +603,12 @@ class GroupBy(GroupByBase):
             bin_values = g.bin_values
             keep = None
             if getattr(g, "dense", False):
-                # dense-range groupers carry empty cells; drop them by count
+                # dense-range groupers carry empty cells; drop them by count.
+                # boolean compaction is dynamic-shape -> host-side; ONE
+                # batched transfer (each separate fetch is a ~30ms round
+                # trip through a tunneled chip)
+                import jax
+                counts, grids = jax.device_get((counts, grids))
                 cnt = counts
                 if g.sort_indices is not None:
                     cnt = cnt[g.sort_indices]
@@ -594,7 +617,6 @@ class GroupBy(GroupByBase):
                 if g.sort_indices is not None:
                     grid = grid[g.sort_indices]
                 if keep is not None:
-                    # boolean compaction is dynamic-shape: host-side
                     grid = np.asarray(grid)[keep]
                 columns[name] = grid
             columns[self.by_names[0]] = bin_values[keep] if keep is not None else bin_values

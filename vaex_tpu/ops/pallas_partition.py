@@ -1,0 +1,325 @@
+"""Partitioned two-phase Pallas aggregation for mid-cardinality grids.
+
+The one-hot matmul kernels (ops/pallas_gridagg.py) do MXU work proportional
+to the WHOLE grid per row (density 1/G waste); the sort path moves every row
+through a sort network.  This kernel splits the grid instead (the TPU
+re-think of the reference's bucketed bulk hashmap inserts,
+hash_primitives.hpp:96-281):
+
+* **phase 1** — grid over row blocks of B1: rows route to ``P = ceil(G/S)``
+  buckets by their bin-index high digit.  Routing is ONE bf16 MXU matmul
+  with a destination one-hot (``dest = bucket*F + rank``; rank = stable
+  position within the block's bucket run via a log-step VPU prefix scan).
+  Every carried payload is decomposed into bf16-EXACT channels (8-bit limbs
+  / bf16 Dekker splits), and each destination slot receives exactly one row
+  — the matmul is an exact relocation, no rounding anywhere.  Runs are
+  zero-padded to capacity ``F`` (zeros are additive identities, so phase 2
+  needs no masks); rows whose run overflows are counted and the caller
+  retries on another strategy (requires B1/P <= ~80: >6 sigma headroom for
+  hash-random keys).
+* **phase 2** — grid over (bucket, block-chunks): the bucket's sub-grid
+  accumulators (exact channel-limb scheme, pallas_gridagg) stay resident in
+  VMEM while its rows stream through a one-hot matmul of width S — per-row
+  MXU work drops from G to S (~50x at G = 1e5).
+
+Between the phases one XLA transpose re-tiles ``[nb, C, P, F]`` to
+``[P, C, nb*F]`` so both kernels see layout-legal (8, 128)-aligned blocks.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+try:
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+    HAVE_PALLAS = True
+except ImportError:  # pragma: no cover
+    HAVE_PALLAS = False
+
+from .pallas_gridagg import _FLOAT_CHANNELS, _limbs3, _round_up, _two_sum
+
+F = 128        # per-(block, bucket) run capacity (one 128-lane group)
+P_MAX = 120    # max buckets (bucket one-hot + trash must fit 128 lanes)
+RUN_HEADROOM = 80  # require B1/P <= this (mean run 80 -> F=128 is +5.4 sigma)
+
+
+def _split_bf16_exact(x32):
+    """f32 [N] -> 3 channels, each exactly representable in bf16, summing
+    back to x32 exactly (Dekker split: 8+8+8 mantissa bits >= 24).
+
+    Uses ``lax.reduce_precision``, NOT ``astype(bf16).astype(f32)``: under
+    jit, --xla_allow_excess_precision folds the cast round-trip away and the
+    split silently collapses to (x, 0, 0) — sums then carry bf16-level
+    error."""
+    c1 = jax.lax.reduce_precision(x32, exponent_bits=8, mantissa_bits=7)
+    r = x32 - c1
+    c2 = jax.lax.reduce_precision(r, exponent_bits=8, mantissa_bits=7)
+    c3 = r - c2
+    return c1, c2, c3
+
+
+def _phase1_kernel(idx_ref, *refs, n_payload, P, shift, b1):
+    """Route one row block into the [1, C8, P_pad, F] bucketed layout."""
+    out_ref, ovf_ref = refs[-2:]
+    payload_refs = refs[:-2]
+    idx = idx_ref[:]                                   # [B1] i32
+    bucket = jax.lax.shift_right_logical(idx, shift)   # high digit
+    bucket = jnp.minimum(bucket, P)                    # invalid -> trash P
+    bins = jax.lax.broadcasted_iota(jnp.int32, (b1, 128), 1)
+    onehot_b = (bucket[:, None] == bins).astype(jnp.float32)   # [B1, 128]
+
+    # rank within the block's bucket run: exclusive per-bucket prefix via a
+    # log-step scan (VPU), then select each row's own lane
+    prefix = onehot_b
+    k = 1
+    while k < b1:
+        shifted = jnp.concatenate(
+            [jnp.zeros((k, 128), jnp.float32), prefix[:-k, :]], axis=0)
+        prefix = prefix + shifted
+        k *= 2
+    excl = prefix - onehot_b
+    # keep rank 2-D [B1, 1]: 1-D results of axis reductions carry offset
+    # layouts that Mosaic cannot re-reduce ("Offset change")
+    rank = jnp.sum(onehot_b * excl, axis=1, keepdims=True).astype(jnp.int32)
+    bucket2 = bucket[:, None]                          # [B1, 1]
+
+    b = pl.program_id(0)
+
+    @pl.when(b == 0)
+    def _():
+        ovf_ref[:] = jnp.zeros_like(ovf_ref)
+    cnt = jnp.sum(((rank >= F) & (bucket2 < P)).astype(jnp.float32))
+    row0 = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0) == 0
+    col0 = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1) == 0
+    ovf_ref[:] += jnp.where(row0 & col0, cnt, 0.0)
+
+    dest = jnp.where((bucket2 < P) & (rank < F), bucket2 * F + rank, P * F)
+
+    # payload channels: idx_lo as two 8-bit limbs + caller channels (all
+    # bf16-exact, so the DEFAULT-precision dot relocates them exactly)
+    idx_lo = idx - jax.lax.shift_left(bucket, shift)
+    lo8 = (idx_lo & 255).astype(jnp.float32)
+    hi8 = jax.lax.shift_right_logical(idx_lo, 8).astype(jnp.float32)
+    cols = [hi8, lo8] + [r[:] for r in payload_refs]
+    c8 = out_ref.shape[1]
+    while len(cols) < c8:
+        cols.append(jnp.zeros((b1,), jnp.float32))
+    V = jnp.stack(cols, axis=0).astype(jnp.bfloat16)   # [C8, B1]
+
+    # chunk the destination one-hot over P so its VMEM footprint stays small
+    p_pad = out_ref.shape[0]
+    CHUNK = 26 * F  # 3328 lanes x B1 x 2B <= 27MB
+    width = p_pad * F
+    pieces = []
+    for w0 in range(0, width, CHUNK):
+        w = min(CHUNK, width - w0)
+        bins_d = jax.lax.broadcasted_iota(jnp.int32, (b1, w), 1) + w0
+        onehot_d = (dest == bins_d).astype(jnp.bfloat16)  # dest is [B1, 1]
+        piece = jax.lax.dot_general(
+            V, onehot_d, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.DEFAULT)       # [C8, w]
+        pieces.append(piece)
+    outT = pieces[0] if len(pieces) == 1 else jnp.concatenate(pieces, axis=1)
+    # write DIRECTLY in phase 2's layout [P_pad, C8, F] (block b owns lane
+    # slice [b*F, (b+1)*F) of the [P_pad, C8, nb*F] array): an in-VMEM
+    # rearrange here replaces an XLA transpose of the whole 1GB+ buffer
+    # between the phases (measured 53s — 400x the kernel itself)
+    c8 = outT.shape[0]
+    out_ref[:] = outT.reshape(c8, p_pad, F).transpose(1, 0, 2)
+
+
+def _phase2_kernel(data_ref, acc_s_ref, err_s_ref, acc_f_ref, err_f_ref, *,
+                   n_static, n_float, s_pad):
+    """Accumulate one bucket-chunk [1, C8, B2*F] into the bucket's
+    [*, s_pad] channel accumulators (exact limb scheme)."""
+    c = pl.program_id(1)
+
+    @pl.when(c == 0)
+    def _():
+        acc_s_ref[:] = jnp.zeros_like(acc_s_ref)
+        err_s_ref[:] = jnp.zeros_like(err_s_ref)
+        acc_f_ref[:] = jnp.zeros_like(acc_f_ref)
+        err_f_ref[:] = jnp.zeros_like(err_f_ref)
+
+    rows = data_ref[0]                                 # [C8, R]
+    R = rows.shape[1]
+    # keep every extracted channel 2-D [1, R] and reductions FULL (partial
+    # reductions over offset-layout slices are unimplemented in Mosaic)
+    idx_lo = (rows[0:1] * 256.0 + rows[1:2]).astype(jnp.int32)   # [1, R]
+    binsT = jax.lax.broadcasted_iota(jnp.int32, (s_pad, R), 0)
+    onehotT = (binsT == idx_lo).astype(jnp.bfloat16)             # [s_pad, R]
+
+    channels = [rows[2 + i:3 + i] for i in range(n_static)]      # [1, R] each
+    scales = []
+    base_in = 2 + n_static
+    for a in range(n_float):
+        # six bf16-exact pieces -> (hi, lo) f32 reconstructed exactly
+        a0 = base_in + 6 * a
+        hi = rows[a0:a0 + 1] + rows[a0 + 1:a0 + 2] + rows[a0 + 2:a0 + 3]
+        lo = rows[a0 + 3:a0 + 4] + rows[a0 + 4:a0 + 5] + rows[a0 + 5:a0 + 6]
+        m = jnp.max(jnp.abs(hi))                                  # full reduce
+        scale = jnp.exp2(jnp.ceil(jnp.log2(jnp.maximum(m, 1e-30))))
+        scale = jnp.maximum(scale, jnp.float32(2.0) ** -100)
+        inv23 = 8388608.0 / scale
+        u = hi * inv23
+        t = jnp.floor(u)
+        d = (u - t) + lo * inv23
+        cr = jnp.floor(d)
+        t = t + cr
+        l2, l1, l0 = _limbs3(t)
+        w = jnp.floor((d - cr) * 65536.0 + 0.5)
+        m1 = w - 256.0 * jnp.floor(w / 256.0)
+        m2 = (w - m1) / 256.0
+        channels.extend([l2, l1, l0, m2, m1])
+        scales.append(scale)
+
+    V = jnp.concatenate(channels, axis=0).astype(jnp.bfloat16)   # [C2, R]
+    out = jax.lax.dot_general(
+        V, onehotT, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.DEFAULT)                   # [C2, s_pad]
+
+    def accumulate(acc_ref, err_ref, row, x):
+        acc = acc_ref[0, row, :]
+        err = err_ref[0, row, :]
+        h, l = _two_sum(acc, x)
+        e = err + l
+        acc2, err2 = _two_sum(h, e)
+        acc_ref[0, row, :] = acc2
+        err_ref[0, row, :] = err2
+
+    for ci in range(n_static):
+        accumulate(acc_s_ref, err_s_ref, ci, out[ci, :])
+    base = n_static
+    for a in range(n_float):
+        scale = scales[a]
+        f23 = scale * jnp.float32(2.0) ** -23
+        f39 = scale * jnp.float32(2.0) ** -39
+        factors = (f23 * 65536.0, f23 * 256.0, f23, f39 * 256.0, f39)
+        for k in range(_FLOAT_CHANNELS):
+            col = base + a * _FLOAT_CHANNELS + k
+            accumulate(acc_f_ref, err_f_ref, a * _FLOAT_CHANNELS + k,
+                       factors[k] * out[col, :])
+
+
+def plan(G, n_static, n_float):
+    """(S, P, B1, B2) for a grid of G cells, or None when out of range."""
+    if G <= 8192:
+        return None  # the flat/two-level kernels already win there
+    S = 1024
+    while -(-G // S) > P_MAX:
+        S <<= 1
+    if S > 8192:
+        return None  # per-bucket one-hot would not fit VMEM: sort path
+    P = -(-G // S)
+    B1 = 4096
+    while B1 > 512 and B1 // P > RUN_HEADROOM:
+        B1 //= 2
+    # phase-2 one-hot VMEM: s_pad * (B2*F) * 2B <= ~24MB
+    B2 = max(1, min(32, (24 << 20) // (S * F * 2)))
+    return S, P, B1, B2
+
+
+def partitioned_additive_channels(idx, static_channels, float_pairs, G):
+    """Exact channel aggregation via partition + per-bucket one-hot.
+
+    Same contract as fused_additive_channels: idx [N] int32 (>= G drops),
+    static channels bf16-exact ints in [-256, 256], float (hi, lo) f32
+    pairs.  Returns (static_sums [Cs, G] f64, float_sums [Af, G] f64,
+    overflow int32).  Nonzero overflow means rows were NOT aggregated
+    (pathologically clustered keys): discard and use another strategy.
+    """
+    n_static = len(static_channels)
+    n_float = len(float_pairs)
+    S, P, b1, B2 = plan(G, n_static, n_float)
+    shift = int(np.log2(S))
+    Cp = 2 + n_static + 6 * n_float
+    C8 = _round_up(Cp, 8)
+    P_pad = _round_up(P, 8)  # trash rows land in pad bucket P (never read)
+
+    N = idx.shape[0]
+    nb = -(-N // b1)
+    nb = _round_up(nb, B2)  # phase 2 reads B2-block chunks: pad with drop
+    n_pad = nb * b1 - N     # rows so every phase-1 block writes real zeros
+    drop = (P + 1) << shift  # shifts to bucket > P -> clamped to trash
+
+    def pad(a, fill=0.0):
+        if n_pad == 0:
+            return a
+        return jnp.concatenate([a, jnp.full((n_pad,), fill, a.dtype)])
+
+    idx = jnp.where(idx >= G, drop, idx).astype(jnp.int32)
+    idx = pad(idx, drop)
+    inputs = [idx]
+    for ch in static_channels:
+        inputs.append(pad(ch.astype(jnp.float32)))
+    for hi, lo in float_pairs:
+        h1, h2, h3 = _split_bf16_exact(hi.astype(jnp.float32))
+        if lo is None:
+            l1 = l2 = l3 = jnp.zeros_like(h1)
+        else:
+            l1, l2, l3 = _split_bf16_exact(lo.astype(jnp.float32))
+        for ch in (h1, h2, h3, l1, l2, l3):
+            inputs.append(pad(ch))
+
+    kern1 = functools.partial(_phase1_kernel, n_payload=len(inputs) - 1,
+                              P=P, shift=shift, b1=b1)
+    with jax.enable_x64(False):
+        bucketed, ovf = pl.pallas_call(
+            kern1,
+            grid=(nb,),
+            in_specs=[pl.BlockSpec((b1,), lambda b: (b,))] * len(inputs),
+            out_specs=[
+                pl.BlockSpec((P_pad, C8, F), lambda b: (0, 0, b)),
+                pl.BlockSpec((8, 128), lambda b: (0, 0)),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((P_pad, C8, nb * F), jnp.float32),
+                jax.ShapeDtypeStruct((8, 128), jnp.float32),
+            ],
+            compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 << 20),
+        )(*inputs)
+        overflow = ovf[0, 0].astype(jnp.int32)
+        re_tiled = bucketed  # already in phase-2 layout, zero relayout cost
+        nb2 = nb // B2
+
+        C2 = n_static + _FLOAT_CHANNELS * n_float
+        cs_pad = _round_up(max(n_static, 1), 8)
+        af_pad = _round_up(max(n_float * _FLOAT_CHANNELS, 1), 8)
+        kern2 = functools.partial(_phase2_kernel, n_static=n_static,
+                                  n_float=n_float, s_pad=S)
+        acc_s, err_s, acc_f, err_f = pl.pallas_call(
+            kern2,
+            grid=(P, nb2),
+            in_specs=[pl.BlockSpec((1, C8, B2 * F), lambda p, c: (p, 0, c))],
+            out_specs=[
+                pl.BlockSpec((1, cs_pad, S), lambda p, c: (p, 0, 0)),
+                pl.BlockSpec((1, cs_pad, S), lambda p, c: (p, 0, 0)),
+                pl.BlockSpec((1, af_pad, S), lambda p, c: (p, 0, 0)),
+                pl.BlockSpec((1, af_pad, S), lambda p, c: (p, 0, 0)),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((P, cs_pad, S), jnp.float32),
+                jax.ShapeDtypeStruct((P, cs_pad, S), jnp.float32),
+                jax.ShapeDtypeStruct((P, af_pad, S), jnp.float32),
+                jax.ShapeDtypeStruct((P, af_pad, S), jnp.float32),
+            ],
+            compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 << 20),
+        )(re_tiled)
+
+    def combine(acc, err, width):
+        tot = acc.astype(jnp.float64) + err.astype(jnp.float64)
+        return tot.transpose(1, 0, 2).reshape(width, P * S)[:, :G]
+
+    static_sums = combine(acc_s, err_s, cs_pad)[:n_static]
+    float_sums = jnp.zeros((n_float, G), jnp.float64)
+    if n_float:
+        tot = combine(acc_f, err_f, af_pad)[:n_float * _FLOAT_CHANNELS]
+        float_sums = tot.reshape(n_float, _FLOAT_CHANNELS, G).sum(axis=1)
+    return static_sums, float_sums, overflow

@@ -99,7 +99,8 @@ class TaskAggregations(Task):
 
     def _fingerprint_extra(self):
         return ([b.fingerprint() for b in self.binners],
-                [op.fingerprint() for op in self.subtasks])
+                [op.fingerprint() for op in self.subtasks],
+                getattr(self, "_no_partition", False))
 
     def reject(self, exception):
         super().reject(exception)
@@ -109,9 +110,13 @@ class TaskAggregations(Task):
         return self
 
     def initial_state(self):
+        import jax.numpy as jnp
         from .ops.binners import grid_size
         G = grid_size(self.binners)
-        return [op.initial_state(G) for op in self.subtasks]
+        # trailing slot: partition-strategy overflow counter (see
+        # ops/pallas_partition.py) — checked at finalize, retried without
+        # the partition kernel when nonzero (pathologically clustered keys)
+        return [op.initial_state(G) for op in self.subtasks] + [jnp.zeros((), jnp.int32)]
 
     # strategy thresholds (see ops/gridagg.py + ops/pallas_gridagg.py):
     # one-hot matmul while the one-hot block fits VMEM, then device sort +
@@ -138,6 +143,8 @@ class TaskAggregations(Task):
         from .ops import gridagg
         from .ops.binners import grid_size
         G = grid_size(self.binners)
+        overflow = state[-1]
+        state = state[:-1]
         new_state = list(state)
         done = [False] * len(self.subtasks)
 
@@ -218,6 +225,49 @@ class TaskAggregations(Task):
                                                constant_values=jnp.asarray(fill, col.dtype))
                             new_state[i] = op.apply_extreme(state[i], grid_col)
                             done[i] = True
+
+        # partitioned two-phase kernel (ops/pallas_partition.py): for
+        # mid-cardinality grids the per-row MXU work drops from G to the
+        # sub-grid width S; covers G up to ~1M where the one-hot kernels
+        # stop.  On bucket overflow (clustered keys) the pass result is
+        # invalid — finalize detects the nonzero counter and the executor
+        # reruns the pass with _no_partition set (sort path).
+        PARTITION_MIN_G = 32768
+        if (additive and pallas_gridagg.is_available()
+                and not getattr(ctx, "spmd_shard", False)
+                and not getattr(self, "_no_partition", False)
+                and G > PARTITION_MIN_G):
+            from .ops import pallas_partition
+            specs = [getattr(self.subtasks[i], "kernel_channels", lambda c: None)(ctx)
+                     for i in additive]
+            if (all(s is not None for s in specs)
+                    and pallas_partition.plan(
+                        G, sum(len(s[1]) for s in specs if s[0] == "static"),
+                        sum(len(s[1]) for s in specs if s[0] == "float")) is not None):
+                static_channels, float_pairs, slots = [], [], []
+                for s in specs:
+                    if s[0] == "static":
+                        slots.append(("static", slice(len(static_channels),
+                                                      len(static_channels) + len(s[1]))))
+                        static_channels.extend(s[1])
+                    else:
+                        slots.append(("float", slice(len(float_pairs),
+                                                     len(float_pairs) + len(s[1]))))
+                        float_pairs.extend(s[1])
+                # padding/filtered rows carry a real-looking bin index with
+                # zero-valued channels — harmless for sums, but they'd eat
+                # partition run capacity (a padded tail = thousands of rows
+                # in ONE cell): route them to the drop bucket explicitly
+                flat_dropped = jnp.where(ctx.row_valid, flat_of(), jnp.int32(G))
+                static_sums, float_sums, ovf = \
+                    pallas_partition.partitioned_additive_channels(
+                        flat_dropped, static_channels, float_pairs, G)
+                overflow = overflow + ovf
+                for i, (kind, sl) in zip(additive, slots):
+                    sums = static_sums[sl] if kind == "static" else float_sums[sl]
+                    new_state[i] = self.subtasks[i].apply_kernel(state[i], sums)
+                    done[i] = True
+                additive = [i for i in additive if not done[i]]
 
         # channel-limb kernel (pallas_gridagg.fused_additive_channels): ONE
         # bf16 MXU pass with exact integer / 39-bit float accumulation —
@@ -316,7 +366,7 @@ class TaskAggregations(Task):
         for i, op in enumerate(self.subtasks):
             if not done[i]:
                 new_state[i] = op.update(state[i], flat_of(), ctx)
-        return new_state, None
+        return new_state + [overflow], None
 
     def update_spmd(self, state, ctx, axis_name):
         """Per-device: aggregate the local row shard into a zero grid (with
@@ -329,12 +379,14 @@ class TaskAggregations(Task):
         G = grid_size(self.binners)
         zeros = [tuple(jnp.asarray(z) for z in op.initial_state(G)) for op in self.subtasks]
         # each device sees only its row shard: the dense-rank strategy's
-        # every-bin-observed invariant does not hold per shard
+        # every-bin-observed invariant does not hold per shard (and the
+        # partition kernel is gated off via spmd_shard too)
         ctx.spmd_shard = True
-        deltas, _ = self.update(zeros, ctx)
+        deltas, _ = self.update(zeros + [jnp.zeros((), jnp.int32)], ctx)
         new_state = [tuple(op.merge(tuple(s), tuple(d), axis_name))
-                     for op, s, d in zip(self.subtasks, state, deltas)]
-        return new_state, None
+                     for op, s, d in zip(self.subtasks, state[:-1], deltas[:-1])]
+        import jax
+        return new_state + [state[-1] + jax.lax.psum(deltas[-1], axis_name)], None
 
     def _flat_indices(self, ctx):
         from .ops.binners import fuse_bins
@@ -353,6 +405,12 @@ class TaskAggregations(Task):
 
     def finalize(self, state, outputs):
         from .ops.binners import grid_shape
+        overflow = int(np.asarray(state[-1]))
+        if overflow:
+            raise PartitionOverflow(
+                f"partition kernel overflowed {overflow} rows (clustered keys); "
+                "rerun the pass without the partition strategy")
+        state = state[:-1]
         shape = grid_shape(self.binners)
         results = []
         for op, s in zip(self.subtasks, state):
@@ -580,6 +638,12 @@ class TaskSetCreateDevice(Task):
 
 class SetCapOverflow(Exception):
     pass
+
+
+class PartitionOverflow(Exception):
+    """The partition kernel's per-(block, bucket) capacity overflowed
+    (pathologically clustered keys, e.g. pre-sorted input): the pass result
+    is invalid and must be recomputed without the partition strategy."""
 
 
 class TaskMapReduce(Task):
