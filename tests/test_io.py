@@ -144,3 +144,41 @@ def test_open_remote_memory_fs(df_src, tmp_path):
     # second open hits the local content cache
     df2 = vt.open("memory://bucket/remote.parquet")
     assert df2.sum("i") == 45
+
+
+def test_votable_roundtrip(tmp_path):
+    import vaex_tpu as vt
+    df = vt.from_arrays(
+        x=np.arange(20, dtype="f8"),
+        i=np.arange(20, dtype="i4"),
+        m=np.ma.MaskedArray(np.arange(20, dtype="f8"), np.arange(20) < 3),
+        s=np.asarray([f"a{i} <&>" for i in range(20)], dtype=object),
+    )
+    path = str(tmp_path / "t.vot")
+    df.export_votable(path)
+    back = vt.open(path)
+    np.testing.assert_allclose(back.evaluate("x", array_type="numpy"), np.arange(20.0))
+    np.testing.assert_array_equal(back.evaluate("i", array_type="numpy"), np.arange(20, dtype="i4"))
+    m = back.evaluate("m", array_type="numpy")
+    assert np.ma.getmaskarray(m)[:3].all() and not np.ma.getmaskarray(m)[3:].any()
+    s = list(back.evaluate("s", array_type="numpy"))
+    assert s[5] == "a5 <&>"
+
+
+def test_votable_parse_tap_style_response():
+    from vaex_tpu.io.votable import parse_votable
+    body = b"""<?xml version="1.0"?>
+    <VOTABLE xmlns="http://www.ivoa.net/xml/VOTable/v1.3" version="1.4">
+      <RESOURCE type="results"><TABLE>
+        <FIELD name="ra" datatype="double"/>
+        <FIELD name="n" datatype="int"><VALUES null="-999"/></FIELD>
+        <DATA><TABLEDATA>
+          <TR><TD>10.5</TD><TD>3</TD></TR>
+          <TR><TD>11.5</TD><TD>-999</TD></TR>
+        </TABLEDATA></DATA>
+      </TABLE></RESOURCE>
+    </VOTABLE>"""
+    cols = parse_votable(body)
+    np.testing.assert_allclose(np.asarray(cols["ra"]), [10.5, 11.5])
+    n = cols["n"]
+    assert n[0] == 3 and np.ma.getmaskarray(n)[1]

@@ -290,3 +290,14 @@ def test_dataset_hashed_sidecar(tmp_path):
     while hasattr(base2, "original"):
         base2 = base2.original
     assert base2.hashed().fingerprint() != h1.fingerprint()
+
+
+def test_graphql_schema_sdl():
+    import vaex_tpu as vt
+    df = vt.from_arrays(x=np.arange(5.0), n=np.arange(5, dtype="i4"),
+                        s=np.asarray(["a", "b", "c", "d", "e"], dtype=object))
+    sdl = df.graphql.schema_sdl()
+    assert "type Query" in sdl and "input DataFrameWhere" in sdl
+    assert "x: CompareFloat" in sdl and "n: CompareInt" in sdl
+    assert "s: CompareString" in sdl
+    assert "type GroupByLevel" in sdl

@@ -163,6 +163,9 @@ def open(path, convert=False, shuffle=False, fs_options=None, fs=None, *args, **
     elif ext == ".fits":
         from .io.fits import open_fits
         df = open_fits(path)
+    elif ext in (".vot", ".votable", ".xml"):
+        from .io.votable import open_votable
+        df = open_votable(path)
     elif ext == ".csv":
         df = from_csv(path, convert=convert)
     elif ext == ".json":

@@ -1736,6 +1736,10 @@ class DataFrame:
         from .io import export as export_module
         export_module.export_csv(self, path, chunk_size=chunk_size, **kwargs)
 
+    def export_votable(self, path, progress=None):
+        from .io import votable
+        votable.export_votable(self, path)
+
     def export_fits(self, path, progress=None):
         from .io import fits
         fits.export_fits(self, path)

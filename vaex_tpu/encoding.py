@@ -93,7 +93,12 @@ def state_get(df, skip=None):
         try:
             functions[name] = base64.b64encode(pickler.dumps(f)).decode()
         except Exception:
-            pass  # unpicklable UDFs are dropped from the state (as-documented)
+            # the state would silently lose behavior — make it loud (the
+            # reference gates function transport with trusted-mode errors)
+            import logging
+            logging.getLogger("vaex_tpu.encoding").warning(
+                "function %r is not picklable and was DROPPED from the "
+                "state; expressions using it will fail on state_set", name)
     return {
         "version": 1,
         "column_names": list(df.column_names),

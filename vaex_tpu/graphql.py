@@ -372,9 +372,64 @@ class DataFrameAccessorGraphQL:
             import graphene  # noqa: F401
         except ImportError as e:
             raise ImportError(
-                "graphene is not installed; use df.graphql.query(dict) which "
-                "implements the same semantics over JSON queries") from e
+                "graphene is not installed; use df.graphql.query(dict) / "
+                ".execute(str) (same semantics) or .schema_sdl() for the "
+                "schema document") from e
         raise NotImplementedError("graphene schema generation lands in a later round")
+
+    def schema_sdl(self):
+        """The DataFrame's GraphQL schema as an SDL document string —
+        per-column Compare input types, aggregation fields and nested
+        groupby types, mirroring the reference's graphene schema
+        (vaex-graphql/__init__.py:8-200) without the graphene dependency."""
+        df = self.df
+        from .datatype import DataType
+        lines = ["type Query {", "  df(where: DataFrameWhere): DataFrame", "}", ""]
+
+        def gql_type(name):
+            dt = DataType(df.data_type(name))
+            if dt.is_string:
+                return "String"
+            if dt.numpy.kind == "b":
+                return "Boolean"
+            if dt.numpy.kind in "iu":
+                return "Int"
+            return "Float"
+
+        cols = [c for c in df.get_column_names() if not c.startswith("__")]
+        lines.append("input DataFrameWhere {")
+        for c in cols:
+            lines.append(f"  {c}: Compare{gql_type(c)}")
+        lines += ["  _and: [DataFrameWhere]", "  _or: [DataFrameWhere]",
+                  "  _not: DataFrameWhere", "}", ""]
+        for t in sorted({gql_type(c) for c in cols}):
+            lines += [f"input Compare{t} {{", f"  _eq: {t}", f"  _neq: {t}",
+                      f"  _gt: {t}", f"  _gte: {t}", f"  _lt: {t}",
+                      f"  _lte: {t}", f"  _in: [{t}]", "}", ""]
+        lines.append("type DataFrame {")
+        lines += ["  count: Float", "  min: ColumnStats", "  max: ColumnStats",
+                  "  mean: ColumnStats", "  sum: ColumnStats",
+                  "  row(offset: Int): Row", "  groupby: GroupBy"]
+        lines += ["}", "", "type ColumnStats {"]
+        for c in cols:
+            lines.append(f"  {c}: Float")
+        lines += ["}", "", "type Row {"]
+        for c in cols:
+            lines.append(f"  {c}: {gql_type(c)}")
+        lines += ["}", "", "type GroupBy {"]
+        for c in cols:
+            lines.append(f"  {c}: GroupByLevel")
+        lines += ["}", "", "type GroupByLevel {",
+                  "  keys: [String]", "  count: [Float]",
+                  "  min: ColumnStatsList", "  max: ColumnStatsList",
+                  "  mean: ColumnStatsList", "  sum: ColumnStatsList"]
+        for c in cols:
+            lines.append(f"  {c}: GroupByLevel")
+        lines += ["}", "", "type ColumnStatsList {"]
+        for c in cols:
+            lines.append(f"  {c}: [Float]")
+        lines.append("}")
+        return "\n".join(lines)
 
     def serve(self, port=9001):
         """HTTP endpoint: POST a JSON query dict to /graphql."""

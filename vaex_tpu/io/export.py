@@ -22,6 +22,9 @@ def export(df, path, progress=None, chunk_size=None):
     if ext == ".fits":
         from . import fits
         return fits.export_fits(df, path)
+    if ext in (".vot", ".votable"):
+        from . import votable
+        return votable.export_votable(df, path)
     if ext == ".csv":
         return export_csv(df, path, chunk_size=chunk_size)
     if ext == ".json":

@@ -44,7 +44,7 @@ except ImportError:  # pragma: no cover
 from .pallas_gridagg import _FLOAT_CHANNELS, _limbs3, _round_up, _two_sum
 
 F = 128        # per-(block, bucket) run capacity (one 128-lane group)
-P_MAX = 120    # max buckets (bucket one-hot + trash must fit 128 lanes)
+P_MAX = 126    # max buckets (bucket one-hot + trash bucket fit 128 lanes)
 RUN_HEADROOM = 80  # require B1/P <= this (mean run 80 -> F=128 is +5.4 sigma)
 
 
