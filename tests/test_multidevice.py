@@ -182,3 +182,33 @@ def test_groupby_auto_shuffle_route(monkeypatch):
     npt.assert_array_equal(np.asarray(out["c"].tolist()), oracle["c"].to_numpy())
     npt.assert_allclose(np.asarray(out["m"].tolist()), oracle["m"].to_numpy(), rtol=1e-9)
     npt.assert_array_equal(np.asarray(out["vs"].tolist()), oracle["vs"].to_numpy())
+
+
+def test_spmd_whole_pass_device_resident():
+    """Device-resident frames under a mesh ride the SPMD whole-pass
+    fori_loop (one dispatch, per-device tile loops, collective merges)."""
+    import jax
+    if len(jax.devices()) < 2:
+        pytest.skip("needs multiple devices")
+    from vaex_tpu.parallel import distributed_executor
+    n = 1000
+    x = np.arange(n, dtype="f8")
+    g = (np.arange(n) % 7).astype("i8")
+    df = vt.from_arrays(x=x, g=g).to_device()
+    df.executor = distributed_executor()
+    df._tile_rows = 256
+    assert df.count() == n
+    assert float(np.asarray(df.sum("x"))) == x.sum()
+    assert float(np.asarray(df.min("x"))) == 0.0
+    assert float(np.asarray(df.max("x"))) == n - 1
+    assert df.executor.whole_passes >= 1  # took the fused path
+    out = df.groupby("g", agg={"s": vt.agg.sum("x"), "c": "count",
+                               "mn": vt.agg.min("x")}, sort=True)
+    import pandas as pd
+    oracle = pd.DataFrame({"x": x, "g": g}).groupby("g").agg(
+        s=("x", "sum"), c=("x", "size"), mn=("x", "min"))
+    npt.assert_allclose(np.asarray(out["s"].tolist()), oracle["s"].to_numpy())
+    npt.assert_array_equal(np.asarray(out["c"].tolist()), oracle["c"].to_numpy())
+    npt.assert_allclose(np.asarray(out["mn"].tolist()), oracle["mn"].to_numpy())
+    # first (order-sensitive): global row ids must be right across shards
+    assert float(np.asarray(df.first("x", "-x"))) == n - 1

@@ -274,10 +274,14 @@ class ExecutorLocal(Executor):
 
         # whole-pass fast path: all data device-resident, all tasks carry
         # their state in the accumulator -> ONE compiled fori_loop over tiles
+        # (per device under a mesh: each device loops over its row shard and
+        # the partial states merge with ONE collective at the end)
+        spmd_whole = self.mesh is not None and self.mesh.size > 1
         resident = None
         if (device_tasks and not host_tasks and not host_stage_exprs
                 and filter_on_device is not False
-                and (self.mesh is None or self.mesh.size <= 1)
+                and (not spmd_whole or all(isinstance(t, TaskAggregations)
+                                           for t in device_tasks))
                 and all(getattr(t, "scan_safe", False) for t in device_tasks)):
             resident = dataset.device_columns(tile_inputs)
         if resident is not None:
@@ -517,27 +521,76 @@ class ExecutorLocal(Executor):
             return self._step_cache[key]
         set_meta = {name: (s.n_keys, s.has_nan, s.has_null, s)
                     for name, s in set_variables.items()}
+        mesh = self.mesh if (self.mesh is not None and self.mesh.size > 1) else None
+        axis_name = mesh.axis_names[0] if mesh is not None else None
         step = _make_step_fn(df, device_tasks, tile_inputs, host_expr_by_slot,
-                             set_meta, device_filter_expr, tile_rows)
+                             set_meta, device_filter_expr, tile_rows,
+                             mesh=mesh, axis_name=axis_name)
         n_tiles = -(-n_total // tile_rows)
 
-        def whole(states, cols, aux, t0, t1):
-            padded = n_tiles * tile_rows
-            cols = {name: (jnp.pad(col, (0, padded - col.shape[0]))
-                           if col.shape[0] != padded else col)
-                    for name, col in cols.items()}
+        if mesh is None:
+            def whole(states, cols, aux, t0, t1):
+                padded = n_tiles * tile_rows
+                cols = {name: (jnp.pad(col, (0, padded - col.shape[0]))
+                               if col.shape[0] != padded else col)
+                        for name, col in cols.items()}
 
-            def body(i, states):
-                i1 = (i * tile_rows).astype(jnp.int32)
-                tile = {name: (jax.lax.dynamic_slice_in_dim(cols[name], i1, tile_rows), None)
-                        for name in tile_inputs}
-                n_valid = jnp.minimum(jnp.int32(n_total) - i1, tile_rows)
-                states, _ = step(states, tile, n_valid, i1, aux, None)
-                return states
+                def body(i, states):
+                    i1 = (i * tile_rows).astype(jnp.int32)
+                    tile = {name: (jax.lax.dynamic_slice_in_dim(cols[name], i1, tile_rows), None)
+                            for name in tile_inputs}
+                    n_valid = jnp.minimum(jnp.int32(n_total) - i1, tile_rows)
+                    states, _ = step(states, tile, n_valid, i1, aux, None)
+                    return states
 
-            # [t0, t1) tile range: the executor chunks the pass into several
-            # dispatches when progress observers need cancellation points
-            return jax.lax.fori_loop(t0, t1, body, states)
+                # [t0, t1) tile range: the executor chunks the pass into
+                # several dispatches when progress observers need
+                # cancellation points
+                return jax.lax.fori_loop(t0, t1, body, states)
+        else:
+            # SPMD whole pass: rows shard contiguously over the mesh; each
+            # device fori-loops its LOCAL tiles, the per-tile update_spmd
+            # merges partials with the ops' collectives (psum/pmin/pmax) —
+            # the multi-chip version of the reference's per-thread parts +
+            # tree reduce, with no per-tile Python dispatch
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            D = mesh.size
+            t_local = tile_rows // D
+            rpd = n_tiles * t_local  # rows per device (padded)
+
+            def whole(states, cols, aux, t0, t1):
+                cols = {name: jnp.pad(col, (0, rpd * D - col.shape[0]))
+                        if col.shape[0] != rpd * D else col
+                        for name, col in cols.items()}
+                cols = {name: jax.device_put(col, NamedSharding(mesh, P(mesh.axis_names[0])))
+                        for name, col in cols.items()}
+
+                def local(states, cols, aux):
+                    d = jax.lax.axis_index(axis_name).astype(jnp.int32)
+
+                    def body(i, states):
+                        r0 = (i * t_local).astype(jnp.int32)
+                        tile = {name: (jax.lax.dynamic_slice_in_dim(cols[name], r0, t_local), None)
+                                for name in tile_inputs}
+                        # validity of local row j: global row d*rpd+r0+j < N.
+                        # the step tests iota + d*t_local < n_valid, so shift:
+                        n_valid = jnp.clip(jnp.int32(n_total) - d * jnp.int32(rpd) - r0,
+                                           0, t_local) + d * jnp.int32(t_local)
+                        # step adds local_offset (= d*t_local) + iota to i1
+                        # for row ids: compensate so ids are the true global
+                        i1 = d * jnp.int32(rpd) + r0 - d * jnp.int32(t_local)
+                        states, _ = step(states, tile, n_valid, i1, aux, None)
+                        return states
+
+                    return jax.lax.fori_loop(t0, t1, body, states)
+
+                shard = (jax.shard_map if hasattr(jax, "shard_map")
+                         else __import__("jax.experimental.shard_map",
+                                         fromlist=["shard_map"]).shard_map)
+                fn = shard(local, mesh=mesh,
+                           in_specs=(P(), P(mesh.axis_names[0]), P()),
+                           out_specs=P(), check_vma=False)
+                return fn(states, cols, aux)
 
         jitted = jax.jit(whole, donate_argnums=(0,),
                          compiler_options=_pass_compiler_options())
