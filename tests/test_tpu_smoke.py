@@ -143,3 +143,32 @@ def test_partition_overflow_retry_sorted_keys():
     out = df.groupby("i1", agg={"s": vt.agg.sum("x")}, sort=True)
     want = np.bincount(keys, minlength=k)
     npt.assert_allclose(np.asarray(out["s"].tolist()), want, rtol=1e-12)
+
+
+def test_partition_kernel_minmax():
+    """min/max at mid-G ride the partition kernel's extreme path: exact for
+    f32 values and range-bounded ints."""
+    rng = np.random.default_rng(9)
+    n, k = 1_000_000, 100_000
+    keys = rng.integers(0, k, n).astype(np.int64)
+    xf = (rng.random(n) * 100).astype(np.float32)
+    vi = rng.integers(1, 16, n).astype(np.int64)
+    df = vt.from_arrays(i1=keys, xf=xf, vi=vi).categorize(
+        "i1", labels=list(range(k))).to_device()
+    out = df.groupby("i1", agg={"mx": vt.agg.max("xf"), "mn": vt.agg.min("xf"),
+                                "vmx": vt.agg.max("vi"), "c": "count"}, sort=True)
+    c = np.asarray(out["c"].tolist())
+    present = c > 0
+    mx = np.asarray(out["mx"].tolist())
+    mn = np.asarray(out["mn"].tolist())
+    vmx = np.asarray(out["vmx"].tolist())
+    import pandas as pd
+    pdf = pd.DataFrame({"k": keys, "xf": xf, "vi": vi})
+    g = pdf.groupby("k")
+    want_mx = np.full(k, -np.inf); want_mn = np.full(k, np.inf)
+    want_vmx = np.zeros(k)
+    want_mx[g.size().index] = g["xf"].max(); want_mn[g.size().index] = g["xf"].min()
+    want_vmx[g.size().index] = g["vi"].max()
+    npt.assert_array_equal(mx[present], want_mx[present].astype(np.float32))
+    npt.assert_array_equal(mn[present], want_mn[present].astype(np.float32))
+    npt.assert_array_equal(vmx[present], want_vmx[present])

@@ -311,8 +311,49 @@ class OpSumMoment(AggOperation):
         return (state[0] + sums[0].astype(state[0].dtype),)
 
 
+def _partition_extreme_column(op, ctx, mode):
+    """f32 value column with +-inf identity fill for the partition kernel's
+    min/max path — only when every value is EXACTLY representable in f32
+    (f32/f16 inputs; ints short or range-bounded below 2^24), else None."""
+    import jax.numpy as jnp
+    dt = DataType(op.dtype_in).device
+    ok = dt.kind == "f" and dt.itemsize <= 4
+    if dt.kind in "iu":
+        b = op._bounded_bits() if op.value_bound is not None else None
+        ok = dt.itemsize <= 2 or (b is not None and b <= 24)
+    if dt.kind == "b":
+        ok = True
+    if not ok:
+        return None
+    x = ctx.expr(op.expressions[0])
+    valid = gridagg.value_valid(x, op._valid(ctx))
+    fill = jnp.float32(np.inf if mode == "min" else -np.inf)
+    return jnp.where(valid, x.data.astype(jnp.float32), fill)
+
+
 class OpMin(AggOperation):
     name = "min"
+    value_bound = None  # optional minmax pre-pass range (like OpSum)
+
+    def fingerprint(self):
+        return fingerprint(super().fingerprint(), self.value_bound)
+
+    def _bounded_bits(self):
+        if self.value_bound is None:
+            return None
+        lo, hi = self.value_bound
+        return builtins.max(int(abs(int(lo))).bit_length(),
+                            int(abs(int(hi))).bit_length()) + 1
+
+    def partition_extreme_column(self, ctx):
+        return _partition_extreme_column(self, ctx, "min")
+
+    def apply_partition_extreme(self, state, grid_col):
+        import jax.numpy as jnp
+        ident = jnp.asarray(gridagg.min_identity(state[0].dtype), state[0].dtype)
+        vals = jnp.where(jnp.isfinite(grid_col), grid_col, 0.0).astype(state[0].dtype)
+        vals = jnp.where(jnp.isfinite(grid_col), vals, ident)
+        return (jnp.minimum(state[0], vals),)
 
     def initial_state(self, G):
         import jax.numpy as jnp
@@ -348,6 +389,27 @@ class OpMin(AggOperation):
 
 class OpMax(AggOperation):
     name = "max"
+    value_bound = None
+
+    def fingerprint(self):
+        return fingerprint(super().fingerprint(), self.value_bound)
+
+    def _bounded_bits(self):
+        if self.value_bound is None:
+            return None
+        lo, hi = self.value_bound
+        return builtins.max(int(abs(int(lo))).bit_length(),
+                            int(abs(int(hi))).bit_length()) + 1
+
+    def partition_extreme_column(self, ctx):
+        return _partition_extreme_column(self, ctx, "max")
+
+    def apply_partition_extreme(self, state, grid_col):
+        import jax.numpy as jnp
+        ident = jnp.asarray(gridagg.max_identity(state[0].dtype), state[0].dtype)
+        vals = jnp.where(jnp.isfinite(grid_col), grid_col, 0.0).astype(state[0].dtype)
+        vals = jnp.where(jnp.isfinite(grid_col), vals, ident)
+        return (jnp.maximum(state[0], vals),)
 
     def initial_state(self, G):
         import jax.numpy as jnp
@@ -812,7 +874,8 @@ class AggregatorDescriptorBasic(AggregatorDescriptor):
         else:
             op = self.op_class(exprs, selection=self.selection, dtype_in=dtype_in,
                                **self.op_kwargs)
-        if (self.op_class is OpSum and exprs and dtype_in.numpy.kind in "iu"):
+        if (self.op_class in (OpSum, OpMin, OpMax) and exprs
+                and dtype_in.numpy.kind in "iu"):
             # memo-read only: the pass itself was queued by prepare(); a
             # synchronous minmax here would split the aggregation pass
             op.value_bound = df._int_value_bound(self.expression, compute=False)
@@ -820,7 +883,8 @@ class AggregatorDescriptorBasic(AggregatorDescriptor):
         return [task]
 
     def prepare(self, df, binners):
-        if self.op_class is OpSum and self.expression not in (None, "*"):
+        if (self.op_class in (OpSum, OpMin, OpMax)
+                and self.expression not in (None, "*")):
             from .ops.binners import grid_size
             # big grids: kernel/sort cost scales with limb-channel count, so
             # a (memoized) minmax pre-pass that proves the values small pays

@@ -134,10 +134,13 @@ def _phase1_kernel(idx_ref, *refs, n_payload, P, shift, b1):
     out_ref[:] = outT.reshape(c8, p_pad, F).transpose(1, 0, 2)
 
 
-def _phase2_kernel(data_ref, acc_s_ref, err_s_ref, acc_f_ref, err_f_ref, *,
-                   n_static, n_float, s_pad):
+def _phase2_kernel(data_ref, acc_s_ref, err_s_ref, acc_f_ref, err_f_ref,
+                   ext_ref=None, *, n_static, n_float, s_pad, ext_modes=()):
     """Accumulate one bucket-chunk [1, C8, B2*F] into the bucket's
-    [*, s_pad] channel accumulators (exact limb scheme)."""
+    [*, s_pad] channel accumulators (exact limb scheme).  Optional extreme
+    columns (min/max) reduce a masked [s_pad, R] broadcast on the VPU; a
+    validity channel distinguishes real rows from empty (zero-filled)
+    capacity slots."""
     c = pl.program_id(1)
 
     @pl.when(c == 0)
@@ -146,6 +149,13 @@ def _phase2_kernel(data_ref, acc_s_ref, err_s_ref, acc_f_ref, err_f_ref, *,
         err_s_ref[:] = jnp.zeros_like(err_s_ref)
         acc_f_ref[:] = jnp.zeros_like(acc_f_ref)
         err_f_ref[:] = jnp.zeros_like(err_f_ref)
+        if ext_ref is not None:
+            # ext_ref block [1, s_pad, E8]: cells on sublanes so the masked
+            # [s_pad, R] axis-1 reductions store without a transpose
+            ext_ref[:] = jnp.zeros_like(ext_ref)
+            for e, m in enumerate(ext_modes):
+                fill = np.inf if m == "min" else -np.inf
+                ext_ref[0, :, e:e + 1] = jnp.full((s_pad, 1), fill, jnp.float32)
 
     rows = data_ref[0]                                 # [C8, R]
     R = rows.shape[1]
@@ -179,12 +189,6 @@ def _phase2_kernel(data_ref, acc_s_ref, err_s_ref, acc_f_ref, err_f_ref, *,
         channels.extend([l2, l1, l0, m2, m1])
         scales.append(scale)
 
-    V = jnp.concatenate(channels, axis=0).astype(jnp.bfloat16)   # [C2, R]
-    out = jax.lax.dot_general(
-        V, onehotT, (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.DEFAULT)                   # [C2, s_pad]
-
     def accumulate(acc_ref, err_ref, row, x):
         acc = acc_ref[0, row, :]
         err = err_ref[0, row, :]
@@ -194,18 +198,44 @@ def _phase2_kernel(data_ref, acc_s_ref, err_s_ref, acc_f_ref, err_f_ref, *,
         acc_ref[0, row, :] = acc2
         err_ref[0, row, :] = err2
 
-    for ci in range(n_static):
-        accumulate(acc_s_ref, err_s_ref, ci, out[ci, :])
-    base = n_static
-    for a in range(n_float):
-        scale = scales[a]
-        f23 = scale * jnp.float32(2.0) ** -23
-        f39 = scale * jnp.float32(2.0) ** -39
-        factors = (f23 * 65536.0, f23 * 256.0, f23, f39 * 256.0, f39)
-        for k in range(_FLOAT_CHANNELS):
-            col = base + a * _FLOAT_CHANNELS + k
-            accumulate(acc_f_ref, err_f_ref, a * _FLOAT_CHANNELS + k,
-                       factors[k] * out[col, :])
+    if channels:  # extremes-only calls have no additive channels
+        V = jnp.concatenate(channels, axis=0).astype(jnp.bfloat16)   # [C2, R]
+        out = jax.lax.dot_general(
+            V, onehotT, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.DEFAULT)                   # [C2, s_pad]
+        for ci in range(n_static):
+            accumulate(acc_s_ref, err_s_ref, ci, out[ci, :])
+        base = n_static
+        for a in range(n_float):
+            scale = scales[a]
+            f23 = scale * jnp.float32(2.0) ** -23
+            f39 = scale * jnp.float32(2.0) ** -39
+            factors = (f23 * 65536.0, f23 * 256.0, f23, f39 * 256.0, f39)
+            for k in range(_FLOAT_CHANNELS):
+                col = base + a * _FLOAT_CHANNELS + k
+                accumulate(acc_f_ref, err_f_ref, a * _FLOAT_CHANNELS + k,
+                           factors[k] * out[col, :])
+
+    if ext_ref is not None and ext_modes:
+        base_ext = 2 + n_static + 6 * n_float
+        validr = rows[base_ext:base_ext + 1]                       # [1, R] f32 0/1
+        ohf = onehotT.astype(jnp.float32)                          # [s_pad, R] 0/1
+        for e, m in enumerate(ext_modes):
+            a0 = base_ext + 1 + 3 * e
+            v = rows[a0:a0 + 1] + rows[a0 + 1:a0 + 2] + rows[a0 + 2:a0 + 3]
+            # mask-free arithmetic select (boolean masks of mismatched
+            # broadcast layouts trip Mosaic relayouts); the fill is a finite
+            # sentinel so 0 * fill stays 0, converted to inf at extraction
+            big = jnp.float32((2.0 ** 127) if m == "min" else -(2.0 ** 127))
+            vrow = validr * v + (1.0 - validr) * big               # [1, R]
+            vb = ohf * vrow + (1.0 - ohf) * big                    # [s_pad, R]
+            if m == "min":
+                red = jnp.min(vb, axis=1, keepdims=True)           # [s_pad, 1]
+                ext_ref[0, :, e:e + 1] = jnp.minimum(ext_ref[0, :, e:e + 1], red)
+            else:
+                red = jnp.max(vb, axis=1, keepdims=True)
+                ext_ref[0, :, e:e + 1] = jnp.maximum(ext_ref[0, :, e:e + 1], red)
 
 
 def plan(G, n_static, n_float):
@@ -226,20 +256,33 @@ def plan(G, n_static, n_float):
     return S, P, B1, B2
 
 
-def partitioned_additive_channels(idx, static_channels, float_pairs, G):
+# finite stand-in for the +-inf extreme identity: infs would turn the
+# relocation matmul's inf*0 products into NaN.  bf16-exact, far above any
+# realistic data value; converted back to the inf identity at extraction.
+_EXT_BIG = float(2.0 ** 126)
+
+
+def partitioned_additive_channels(idx, static_channels, float_pairs, G,
+                                  extreme_cols=(), validity=None):
     """Exact channel aggregation via partition + per-bucket one-hot.
 
     Same contract as fused_additive_channels: idx [N] int32 (>= G drops),
     static channels bf16-exact ints in [-256, 256], float (hi, lo) f32
-    pairs.  Returns (static_sums [Cs, G] f64, float_sums [Af, G] f64,
-    overflow int32).  Nonzero overflow means rows were NOT aggregated
-    (pathologically clustered keys): discard and use another strategy.
+    pairs.  ``extreme_cols`` is a list of (col_f32, mode) for per-cell
+    min/max — exact for values exactly representable in f32 (f32 inputs,
+    range-bounded ints); requires ``validity`` (f32 0/1 per row) to
+    distinguish empty capacity slots.  Returns (static_sums [Cs, G] f64,
+    float_sums [Af, G] f64, extreme_grids list of [G] f32, overflow int32).
+    Nonzero overflow means rows were NOT aggregated (pathologically
+    clustered keys): discard and use another strategy.
     """
     n_static = len(static_channels)
     n_float = len(float_pairs)
+    n_ext = len(extreme_cols)
+    ext_modes = tuple(m for _, m in extreme_cols)
     S, P, b1, B2 = plan(G, n_static, n_float)
     shift = int(np.log2(S))
-    Cp = 2 + n_static + 6 * n_float
+    Cp = 2 + n_static + 6 * n_float + ((1 + 3 * n_ext) if n_ext else 0)
     C8 = _round_up(Cp, 8)
     P_pad = _round_up(P, 8)  # trash rows land in pad bucket P (never read)
 
@@ -267,6 +310,15 @@ def partitioned_additive_channels(idx, static_channels, float_pairs, G):
             l1, l2, l3 = _split_bf16_exact(lo.astype(jnp.float32))
         for ch in (h1, h2, h3, l1, l2, l3):
             inputs.append(pad(ch))
+    if n_ext:
+        inputs.append(pad(validity.astype(jnp.float32)))
+        for col, mode in extreme_cols:
+            c = col.astype(jnp.float32)
+            big = jnp.float32(_EXT_BIG if mode == "min" else -_EXT_BIG)
+            c = jnp.where(jnp.isfinite(c), c, big)  # inf x 0 in the MXU = NaN
+            e1, e2, e3 = _split_bf16_exact(c)
+            for ch in (e1, e2, e3):
+                inputs.append(pad(ch))
 
     kern1 = functools.partial(_phase1_kernel, n_payload=len(inputs) - 1,
                               P=P, shift=shift, b1=b1)
@@ -292,26 +344,34 @@ def partitioned_additive_channels(idx, static_channels, float_pairs, G):
         C2 = n_static + _FLOAT_CHANNELS * n_float
         cs_pad = _round_up(max(n_static, 1), 8)
         af_pad = _round_up(max(n_float * _FLOAT_CHANNELS, 1), 8)
+        e8 = _round_up(max(n_ext, 1), 8)
         kern2 = functools.partial(_phase2_kernel, n_static=n_static,
-                                  n_float=n_float, s_pad=S)
-        acc_s, err_s, acc_f, err_f = pl.pallas_call(
+                                  n_float=n_float, s_pad=S, ext_modes=ext_modes)
+        out_specs = [
+            pl.BlockSpec((1, cs_pad, S), lambda p, c: (p, 0, 0)),
+            pl.BlockSpec((1, cs_pad, S), lambda p, c: (p, 0, 0)),
+            pl.BlockSpec((1, af_pad, S), lambda p, c: (p, 0, 0)),
+            pl.BlockSpec((1, af_pad, S), lambda p, c: (p, 0, 0)),
+        ]
+        out_shape = [
+            jax.ShapeDtypeStruct((P, cs_pad, S), jnp.float32),
+            jax.ShapeDtypeStruct((P, cs_pad, S), jnp.float32),
+            jax.ShapeDtypeStruct((P, af_pad, S), jnp.float32),
+            jax.ShapeDtypeStruct((P, af_pad, S), jnp.float32),
+        ]
+        if n_ext:
+            out_specs.append(pl.BlockSpec((1, S, e8), lambda p, c: (p, 0, 0)))
+            out_shape.append(jax.ShapeDtypeStruct((P, S, e8), jnp.float32))
+        outs = pl.pallas_call(
             kern2,
             grid=(P, nb2),
             in_specs=[pl.BlockSpec((1, C8, B2 * F), lambda p, c: (p, 0, c))],
-            out_specs=[
-                pl.BlockSpec((1, cs_pad, S), lambda p, c: (p, 0, 0)),
-                pl.BlockSpec((1, cs_pad, S), lambda p, c: (p, 0, 0)),
-                pl.BlockSpec((1, af_pad, S), lambda p, c: (p, 0, 0)),
-                pl.BlockSpec((1, af_pad, S), lambda p, c: (p, 0, 0)),
-            ],
-            out_shape=[
-                jax.ShapeDtypeStruct((P, cs_pad, S), jnp.float32),
-                jax.ShapeDtypeStruct((P, cs_pad, S), jnp.float32),
-                jax.ShapeDtypeStruct((P, af_pad, S), jnp.float32),
-                jax.ShapeDtypeStruct((P, af_pad, S), jnp.float32),
-            ],
+            out_specs=out_specs,
+            out_shape=out_shape,
             compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 << 20),
         )(re_tiled)
+        acc_s, err_s, acc_f, err_f = outs[:4]
+        ext_out = outs[4] if n_ext else None
 
     def combine(acc, err, width):
         tot = acc.astype(jnp.float64) + err.astype(jnp.float64)
@@ -322,4 +382,12 @@ def partitioned_additive_channels(idx, static_channels, float_pairs, G):
     if n_float:
         tot = combine(acc_f, err_f, af_pad)[:n_float * _FLOAT_CHANNELS]
         float_sums = tot.reshape(n_float, _FLOAT_CHANNELS, G).sum(axis=1)
-    return static_sums, float_sums, overflow
+    extreme_grids = []
+    for e, (_, mode) in enumerate(extreme_cols):
+        grid = ext_out[:, :, e].reshape(P * S)[:G]
+        ident = jnp.float32(np.inf if mode == "min" else -np.inf)
+        # cells holding only identity-filled (value-invalid) rows carry the
+        # finite sentinel: restore the inf identity
+        grid = jnp.where(jnp.abs(grid) >= jnp.float32(_EXT_BIG), ident, grid)
+        extreme_grids.append(grid)
+    return static_sums, float_sums, extreme_grids, overflow

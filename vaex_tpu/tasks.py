@@ -233,14 +233,26 @@ class TaskAggregations(Task):
         # invalid — finalize detects the nonzero counter and the executor
         # reruns the pass with _no_partition set (sort path).
         PARTITION_MIN_G = 32768
-        if (additive and pallas_gridagg.is_available()
+        ext_candidates = [i for i, op in enumerate(self.subtasks)
+                          if getattr(op, "extreme_mode", None)
+                          and hasattr(op, "partition_extreme_column")
+                          and not done[i]]
+        if ((additive or ext_candidates) and pallas_gridagg.is_available()
                 and not getattr(ctx, "spmd_shard", False)
                 and not getattr(self, "_no_partition", False)
                 and G > PARTITION_MIN_G):
             from .ops import pallas_partition
             specs = [getattr(self.subtasks[i], "kernel_channels", lambda c: None)(ctx)
                      for i in additive]
-            if (all(s is not None for s in specs)
+            ext_cols = []
+            ext_idx = []
+            for i in ext_candidates:
+                col = self.subtasks[i].partition_extreme_column(ctx)
+                if col is not None:
+                    ext_cols.append((col, self.subtasks[i].extreme_mode))
+                    ext_idx.append(i)
+            if ((additive or ext_idx)
+                    and all(s is not None for s in specs)
                     and pallas_partition.plan(
                         G, sum(len(s[1]) for s in specs if s[0] == "static"),
                         sum(len(s[1]) for s in specs if s[0] == "float")) is not None):
@@ -259,13 +271,19 @@ class TaskAggregations(Task):
                 # partition run capacity (a padded tail = thousands of rows
                 # in ONE cell): route them to the drop bucket explicitly
                 flat_dropped = jnp.where(ctx.row_valid, flat_of(), jnp.int32(G))
-                static_sums, float_sums, ovf = \
+                static_sums, float_sums, ext_grids, ovf = \
                     pallas_partition.partitioned_additive_channels(
-                        flat_dropped, static_channels, float_pairs, G)
+                        flat_dropped, static_channels, float_pairs, G,
+                        extreme_cols=ext_cols,
+                        validity=ctx.row_valid if ext_cols else None)
                 overflow = overflow + ovf
                 for i, (kind, sl) in zip(additive, slots):
                     sums = static_sums[sl] if kind == "static" else float_sums[sl]
                     new_state[i] = self.subtasks[i].apply_kernel(state[i], sums)
+                    done[i] = True
+                for i, grid_col in zip(ext_idx, ext_grids):
+                    new_state[i] = self.subtasks[i].apply_partition_extreme(
+                        state[i], grid_col)
                     done[i] = True
                 additive = [i for i in additive if not done[i]]
 
