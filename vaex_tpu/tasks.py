@@ -237,8 +237,10 @@ class TaskAggregations(Task):
                           if getattr(op, "extreme_mode", None)
                           and hasattr(op, "partition_extreme_column")
                           and not done[i]]
+        # unlike dense-rank, the partition kernel has no every-bin-observed
+        # invariant: it runs fine on a PER-SHARD basis under shard_map (the
+        # overflow slot merges by psum)
         if ((additive or ext_candidates) and pallas_gridagg.is_available()
-                and not getattr(ctx, "spmd_shard", False)
                 and not getattr(self, "_no_partition", False)
                 and G > PARTITION_MIN_G):
             from .ops import pallas_partition
