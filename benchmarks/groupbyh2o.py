@@ -133,6 +133,10 @@ def main():
     parser.add_argument("--n", type=float, default=1e7)
     parser.add_argument("--check", action="store_true")
     parser.add_argument("--device", action="store_true", help="stage data in HBM")
+    parser.add_argument("--device-gen", action="store_true",
+                        help="generate the table directly in HBM (a 1e8-row "
+                             "upload through a tunneled chip measures the "
+                             "network, not the engine)")
     parser.add_argument("--q", default=None, help="comma-separated question subset, e.g. q7,q10")
     args = parser.parse_args()
 
@@ -140,9 +144,25 @@ def main():
     from vaex_tpu import cache
 
     n = int(args.n)
-    df = h2o(n)
-    if args.device:
-        df = df.to_device()
+    if args.device_gen:
+        import jax
+        import jax.numpy as jnp
+        ks = jax.random.split(jax.random.PRNGKey(42), 9)
+        k = 100
+
+        def ints(key, lo, hi):
+            return jax.random.randint(key, (n,), lo, hi, dtype=jnp.int32).astype(jnp.int64)
+        df = vt.from_dataset(vt.DatasetArrays({
+            "id1": ints(ks[0], 1, k + 1), "id2": ints(ks[1], 1, k + 1),
+            "id3": ints(ks[2], 1, n // k + 1), "id4": ints(ks[3], 1, k + 1),
+            "id5": ints(ks[4], 1, k + 1), "id6": ints(ks[5], 1, n // k + 1),
+            "v1": ints(ks[6], 1, 6), "v2": ints(ks[7], 1, 16),
+            "v3": jax.random.uniform(ks[8], (n,), dtype=jnp.float64) * 100,
+        }))
+    else:
+        df = h2o(n)
+        if args.device:
+            df = df.to_device()
     df._tile_rows = 1 << 22
 
     results = {}

@@ -652,7 +652,6 @@ def _neg_order(col):
 
 
 class OpPercentile(AggOperation):
-    host_finalize = True  # get_result is host numpy math
     """Per-cell approximate percentile via a [G, B] binned count grid +
     histogram interpolation (reference: percentile_approx builds the same
     cumulative binned-count grid, dataframe.py:1419-1524 +
@@ -692,39 +691,42 @@ class OpPercentile(AggOperation):
         return (hist.at[flat2].add(jnp.ones(flat2.shape, hist.dtype), mode="drop"),)
 
     def get_result(self, state):
-        counts = np.asarray(state[0]).reshape(-1, self.bins).astype(np.float64)
-        cum = np.cumsum(counts, axis=1)
+        # interpolate ON DEVICE: only the [G(, P)] results cross to the
+        # host, never the [G, B] histogram (43MB+ D2H for a 1e4-group
+        # median through a tunneled chip)
+        import jax.numpy as jnp
+        counts = jnp.reshape(state[0], (-1, self.bins)).astype(jnp.float64)
+        cum = jnp.cumsum(counts, axis=1)
         n = cum[:, -1]
         width = (self.vmax - self.vmin) or 1.0
         w = width / self.bins
-        rows = np.arange(len(n))
+        rows = jnp.arange(counts.shape[0])
 
         def value_at_rank(r):
             """Approximate the 0-based r-th smallest value per cell: locate
             its bin in the cumulative counts, place it at the bin midpoint of
             its within-bin position."""
-            k = (cum <= r[:, None]).sum(axis=1)
-            k = np.clip(k, 0, self.bins - 1)
-            before = np.where(k > 0, cum[rows, np.maximum(k - 1, 0)], 0)
+            k = jnp.sum(cum <= r[:, None], axis=1)
+            k = jnp.clip(k, 0, self.bins - 1)
+            before = jnp.where(k > 0, cum[rows, jnp.maximum(k - 1, 0)], 0)
             inbin = counts[rows, k]
-            frac = np.where(inbin > 0, (r - before + 0.5) / inbin, 0.5)
-            return self.vmin + (k + np.clip(frac, 0.0, 1.0)) * w
+            frac = jnp.where(inbin > 0, (r - before + 0.5) / inbin, 0.5)
+            return self.vmin + (k + jnp.clip(frac, 0.0, 1.0)) * w
 
         outs = []
-        with np.errstate(divide="ignore", invalid="ignore"):
-            for pct in self.percentages:
-                # linear-interpolation rank (numpy/pandas default): the value
-                # interpolates BETWEEN the bracketing integer ranks — two
-                # far-apart values in a 2-row group still give their midpoint
-                p = np.clip(pct / 100.0 * (n - 1), 0, np.maximum(n - 1, 0))
-                lo_r = np.floor(p)
-                v_lo = value_at_rank(lo_r)
-                v_hi = value_at_rank(np.ceil(p))
-                value = v_lo + (p - lo_r) * (v_hi - v_lo)
-                outs.append(np.where(n > 0, value, np.nan))
+        for pct in self.percentages:
+            # linear-interpolation rank (numpy/pandas default): the value
+            # interpolates BETWEEN the bracketing integer ranks — two
+            # far-apart values in a 2-row group still give their midpoint
+            p = jnp.clip(pct / 100.0 * (n - 1), 0, jnp.maximum(n - 1, 0))
+            lo_r = jnp.floor(p)
+            v_lo = value_at_rank(lo_r)
+            v_hi = value_at_rank(jnp.ceil(p))
+            value = v_lo + (p - lo_r) * (v_hi - v_lo)
+            outs.append(jnp.where(n > 0, value, jnp.nan))
         if len(outs) == 1:
             return outs[0]
-        return np.stack(outs, axis=1)
+        return jnp.stack(outs, axis=1)
 
 
 _PAIR_SENTINEL = np.int64(2**63 - 1)
