@@ -27,6 +27,8 @@ from .datatype import dtype_of
 from .utils import fingerprint, hash_array_data
 
 HERE_CHUNK = Tuple[int, int, Dict[str, object]]
+builtins_min = min
+builtins_max = max
 
 
 def _slice_column(col, i1, i2):
@@ -78,8 +80,22 @@ class Dataset(collections.abc.Mapping):
         if hasattr(col, "fingerprint"):
             fp = col.fingerprint()
         else:
-            fp = hash_array_data(array_types.to_numpy(col[:1000]) if len(col) else np.empty(0)) \
-                + f"-n{len(col)}"
+            # sampled content hash: head + strided middle + tail + length.
+            # O(1) per column (full hashes are opt-in via DatasetFile.hashed
+            # and its sidecar cache); the strided samples keep two arrays
+            # that differ past the head from aliasing (the fingerprint keys
+            # the result cache AND minmax value bounds).
+            n = len(col)
+            if n == 0:
+                fp = hash_array_data(np.empty(0)) + "-n0"
+            else:
+                head = array_types.to_numpy(col[: builtins_min(1000, n)])
+                parts = [hash_array_data(head)]
+                if n > 2000:
+                    step = builtins_max(1, n // 2048)
+                    parts.append(hash_array_data(array_types.to_numpy(col[::step])))
+                    parts.append(hash_array_data(array_types.to_numpy(col[n - 1000:n])))
+                fp = fingerprint("col-sampled", parts) + f"-n{n}"
         self._ids[name] = fp
         return fp
 
