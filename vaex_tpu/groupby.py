@@ -602,22 +602,30 @@ class GroupBy(GroupByBase):
             g = self.by[0]
             bin_values = g.bin_values
             keep = None
+            keep_idx = None
             if getattr(g, "dense", False):
                 # dense-range groupers carry empty cells; drop them by count.
-                # boolean compaction is dynamic-shape -> host-side; ONE
-                # batched transfer (each separate fetch is a ~30ms round
-                # trip through a tunneled chip)
-                import jax
-                counts, grids = jax.device_get((counts, grids))
+                # boolean compaction is dynamic-shape, so the COUNT grid
+                # comes to the host to compute the kept indices — but the
+                # (possibly many) result grids compact with a device gather
+                # and stay device-resident (1e6-group results = 32MB+ D2H
+                # through a tunneled chip otherwise)
                 cnt = counts
                 if g.sort_indices is not None:
                     cnt = cnt[g.sort_indices]
                 keep = np.asarray(cnt) > 0
+                if any(not isinstance(grid, np.ndarray) for grid in grids.values()):
+                    import jax.numpy as jnp
+                    keep_idx = jnp.asarray(np.flatnonzero(keep))
             for name, grid in grids.items():
                 if g.sort_indices is not None:
                     grid = grid[g.sort_indices]
                 if keep is not None:
-                    grid = np.asarray(grid)[keep]
+                    if keep_idx is not None and not isinstance(grid, np.ndarray):
+                        import jax.numpy as jnp
+                        grid = jnp.take(grid, keep_idx, axis=0)
+                    else:
+                        grid = np.asarray(grid)[keep]
                 columns[name] = grid
             columns[self.by_names[0]] = bin_values[keep] if keep is not None else bin_values
             columns = {self.by_names[0]: columns[self.by_names[0]],
