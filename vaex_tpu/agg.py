@@ -72,6 +72,15 @@ class AggOperation:
         return tuple(s + jax.lax.psum(d, axis_name) for s, d in zip(state, delta))
 
 
+def _bounded_bits_of(value_bound):
+    """Bit bound b with every |value| < 2^b, or None without a bound."""
+    if value_bound is None:
+        return None
+    lo, hi = value_bound
+    return builtins.max(int(abs(int(lo))).bit_length(),
+                        int(abs(int(hi))).bit_length()) + 1
+
+
 class OpCount(AggOperation):
     name = "count"
 
@@ -133,12 +142,7 @@ class OpSum(AggOperation):
         return fingerprint(super().fingerprint(), self.value_bound)
 
     def _bounded_bits(self):
-        """Bit bound b with every |value| < 2^b, or None without a bound."""
-        if self.value_bound is None:
-            return None
-        lo, hi = self.value_bound
-        return builtins.max(int(abs(int(lo))).bit_length(),
-                            int(abs(int(hi))).bit_length()) + 1
+        return _bounded_bits_of(self.value_bound)
 
     def initial_state(self, G):
         import jax.numpy as jnp
@@ -339,11 +343,7 @@ class OpMin(AggOperation):
         return fingerprint(super().fingerprint(), self.value_bound)
 
     def _bounded_bits(self):
-        if self.value_bound is None:
-            return None
-        lo, hi = self.value_bound
-        return builtins.max(int(abs(int(lo))).bit_length(),
-                            int(abs(int(hi))).bit_length()) + 1
+        return _bounded_bits_of(self.value_bound)
 
     def partition_extreme_column(self, ctx):
         return _partition_extreme_column(self, ctx, "min")
@@ -395,11 +395,7 @@ class OpMax(AggOperation):
         return fingerprint(super().fingerprint(), self.value_bound)
 
     def _bounded_bits(self):
-        if self.value_bound is None:
-            return None
-        lo, hi = self.value_bound
-        return builtins.max(int(abs(int(lo))).bit_length(),
-                            int(abs(int(hi))).bit_length()) + 1
+        return _bounded_bits_of(self.value_bound)
 
     def partition_extreme_column(self, ctx):
         return _partition_extreme_column(self, ctx, "max")

@@ -22,8 +22,9 @@ hash_primitives.hpp:96-281):
   VMEM while its rows stream through a one-hot matmul of width S — per-row
   MXU work drops from G to S (~50x at G = 1e5).
 
-Between the phases one XLA transpose re-tiles ``[nb, C, P, F]`` to
-``[P, C, nb*F]`` so both kernels see layout-legal (8, 128)-aligned blocks.
+Phase 1 writes phase 2's ``[P, C, nb*F]`` layout directly (a between-phase
+XLA transpose of the GB-scale buffer measured 53s); both kernels see
+layout-legal (8, 128)-aligned blocks.
 """
 
 from __future__ import annotations
@@ -63,7 +64,7 @@ def _split_bf16_exact(x32):
     return c1, c2, c3
 
 
-def _phase1_kernel(idx_ref, *refs, n_payload, P, shift, b1):
+def _phase1_kernel(idx_ref, *refs, P, shift, b1):
     """Route one row block into the [1, C8, P_pad, F] bucketed layout."""
     out_ref, ovf_ref = refs[-2:]
     payload_refs = refs[:-2]
@@ -320,8 +321,7 @@ def partitioned_additive_channels(idx, static_channels, float_pairs, G,
             for ch in (e1, e2, e3):
                 inputs.append(pad(ch))
 
-    kern1 = functools.partial(_phase1_kernel, n_payload=len(inputs) - 1,
-                              P=P, shift=shift, b1=b1)
+    kern1 = functools.partial(_phase1_kernel, P=P, shift=shift, b1=b1)
     with jax.enable_x64(False):
         bucketed, ovf = pl.pallas_call(
             kern1,
