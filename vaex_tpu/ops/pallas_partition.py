@@ -136,12 +136,16 @@ def _phase1_kernel(idx_ref, *refs, P, shift, b1):
 
 
 def _phase2_kernel(data_ref, acc_s_ref, err_s_ref, acc_f_ref, err_f_ref,
-                   ext_ref=None, *, n_static, n_float, s_pad, ext_modes=()):
+                   ext_ref=None, *, n_static, n_float, s_pad, ext_modes=(),
+                   two_level=False):
     """Accumulate one bucket-chunk [1, C8, B2*F] into the bucket's
     [*, s_pad] channel accumulators (exact limb scheme).  Optional extreme
     columns (min/max) reduce a masked [s_pad, R] broadcast on the VPU; a
     validity channel distinguishes real rows from empty (zero-filled)
-    capacity slots."""
+    capacity slots.  With ``two_level`` the sub-grid factors as
+    hi*128 + lo (the _channels2_kernel trick): the flat [s_pad, R] one-hot
+    build — the dominant cost at S >= 4096 — is replaced by two digit
+    one-hots and accumulators shaped [*, h_pad, 128]."""
     c = pl.program_id(1)
 
     @pl.when(c == 0)
@@ -163,8 +167,10 @@ def _phase2_kernel(data_ref, acc_s_ref, err_s_ref, acc_f_ref, err_f_ref,
     # keep every extracted channel 2-D [1, R] and reductions FULL (partial
     # reductions over offset-layout slices are unimplemented in Mosaic)
     idx_lo = (rows[0:1] * 256.0 + rows[1:2]).astype(jnp.int32)   # [1, R]
-    binsT = jax.lax.broadcasted_iota(jnp.int32, (s_pad, R), 0)
-    onehotT = (binsT == idx_lo).astype(jnp.bfloat16)             # [s_pad, R]
+    onehotT = None
+    if not two_level:
+        binsT = jax.lax.broadcasted_iota(jnp.int32, (s_pad, R), 0)
+        onehotT = (binsT == idx_lo).astype(jnp.bfloat16)         # [s_pad, R]
 
     channels = [rows[2 + i:3 + i] for i in range(n_static)]      # [1, R] each
     scales = []
@@ -199,7 +205,44 @@ def _phase2_kernel(data_ref, acc_s_ref, err_s_ref, acc_f_ref, err_f_ref,
         acc_ref[0, row, :] = acc2
         err_ref[0, row, :] = err2
 
-    if channels:  # extremes-only calls have no additive channels
+    def accumulate3(acc_ref, err_ref, row, x):
+        acc = acc_ref[0, row, :, :]
+        err = err_ref[0, row, :, :]
+        h, l = _two_sum(acc, x)
+        e = err + l
+        acc2, err2 = _two_sum(h, e)
+        acc_ref[0, row, :, :] = acc2
+        err_ref[0, row, :, :] = err2
+
+    if channels and two_level:
+        h_pad = s_pad // 128
+        hi_d = jax.lax.shift_right_logical(idx_lo, 7)              # [1, R]
+        lo_d = idx_lo & 127
+        bins_h = jax.lax.broadcasted_iota(jnp.int32, (h_pad, R), 0)
+        oh_hiT = (bins_h == hi_d).astype(jnp.bfloat16)             # [h_pad, R]
+        bins_l = jax.lax.broadcasted_iota(jnp.int32, (128, R), 0)
+        oh_loT = (bins_l == lo_d).astype(jnp.float32)              # [128, R]
+        # rhs row (c, l) = oh_lo[l] * ch_c: products are 0 or the limb
+        # itself (ints in [-256, 256]) so the bf16 cast stays exact
+        rhs = jnp.concatenate([(oh_loT * ch).astype(jnp.bfloat16)
+                               for ch in channels], axis=0)        # [C2*128, R]
+        out2 = jax.lax.dot_general(
+            oh_hiT, rhs, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.DEFAULT)                   # [h_pad, C2*128]
+        for ci in range(n_static):
+            accumulate3(acc_s_ref, err_s_ref, ci, out2[:, ci * 128:(ci + 1) * 128])
+        base = n_static
+        for a in range(n_float):
+            scale = scales[a]
+            f23 = scale * jnp.float32(2.0) ** -23
+            f39 = scale * jnp.float32(2.0) ** -39
+            factors = (f23 * 65536.0, f23 * 256.0, f23, f39 * 256.0, f39)
+            for k in range(_FLOAT_CHANNELS):
+                col = base + a * _FLOAT_CHANNELS + k
+                accumulate3(acc_f_ref, err_f_ref, a * _FLOAT_CHANNELS + k,
+                            factors[k] * out2[:, col * 128:(col + 1) * 128])
+    elif channels:  # extremes-only calls have no additive channels
         V = jnp.concatenate(channels, axis=0).astype(jnp.bfloat16)   # [C2, R]
         out = jax.lax.dot_general(
             V, onehotT, (((1,), (1,)), ((), ())),
@@ -345,19 +388,28 @@ def partitioned_additive_channels(idx, static_channels, float_pairs, G,
         cs_pad = _round_up(max(n_static, 1), 8)
         af_pad = _round_up(max(n_float * _FLOAT_CHANNELS, 1), 8)
         e8 = _round_up(max(n_ext, 1), 8)
+        # big sub-grids without extremes factor as hi*128+lo: the flat
+        # [S, R] one-hot build is the dominant cost there
+        two_level = S >= 4096 and not n_ext
         kern2 = functools.partial(_phase2_kernel, n_static=n_static,
-                                  n_float=n_float, s_pad=S, ext_modes=ext_modes)
+                                  n_float=n_float, s_pad=S, ext_modes=ext_modes,
+                                  two_level=two_level)
+        if two_level:
+            h_pad = S // 128
+            acc_dims = (h_pad, 128)
+        else:
+            acc_dims = (S,)
         out_specs = [
-            pl.BlockSpec((1, cs_pad, S), lambda p, c: (p, 0, 0)),
-            pl.BlockSpec((1, cs_pad, S), lambda p, c: (p, 0, 0)),
-            pl.BlockSpec((1, af_pad, S), lambda p, c: (p, 0, 0)),
-            pl.BlockSpec((1, af_pad, S), lambda p, c: (p, 0, 0)),
+            pl.BlockSpec((1, cs_pad) + acc_dims, lambda p, c: (p, 0, 0, 0)[:2 + len(acc_dims)]),
+            pl.BlockSpec((1, cs_pad) + acc_dims, lambda p, c: (p, 0, 0, 0)[:2 + len(acc_dims)]),
+            pl.BlockSpec((1, af_pad) + acc_dims, lambda p, c: (p, 0, 0, 0)[:2 + len(acc_dims)]),
+            pl.BlockSpec((1, af_pad) + acc_dims, lambda p, c: (p, 0, 0, 0)[:2 + len(acc_dims)]),
         ]
         out_shape = [
-            jax.ShapeDtypeStruct((P, cs_pad, S), jnp.float32),
-            jax.ShapeDtypeStruct((P, cs_pad, S), jnp.float32),
-            jax.ShapeDtypeStruct((P, af_pad, S), jnp.float32),
-            jax.ShapeDtypeStruct((P, af_pad, S), jnp.float32),
+            jax.ShapeDtypeStruct((P, cs_pad) + acc_dims, jnp.float32),
+            jax.ShapeDtypeStruct((P, cs_pad) + acc_dims, jnp.float32),
+            jax.ShapeDtypeStruct((P, af_pad) + acc_dims, jnp.float32),
+            jax.ShapeDtypeStruct((P, af_pad) + acc_dims, jnp.float32),
         ]
         if n_ext:
             out_specs.append(pl.BlockSpec((1, S, e8), lambda p, c: (p, 0, 0)))
@@ -375,6 +427,8 @@ def partitioned_additive_channels(idx, static_channels, float_pairs, G,
 
     def combine(acc, err, width):
         tot = acc.astype(jnp.float64) + err.astype(jnp.float64)
+        if tot.ndim == 4:  # two-level accumulators [P, width, h_pad, 128]
+            tot = tot.reshape(tot.shape[0], width, S)
         return tot.transpose(1, 0, 2).reshape(width, P * S)[:, :G]
 
     static_sums = combine(acc_s, err_s, cs_pad)[:n_static]
