@@ -203,3 +203,39 @@ def test_sum_value_bound_exact():
         oracle = pd.DataFrame({"k": k, "v": v}).groupby("k")["v"].sum().sort_index()
         np.testing.assert_array_equal(np.asarray(out["v"].values, np.int64),
                                       oracle.to_numpy())
+
+
+def test_minmax_huge_f32_values_big_grid():
+    """ADVICE r2 (medium): f32 values near/above 2^126 (inf, 3.4e38 fills)
+    must not ride the partition kernel's finite-sentinel extreme path."""
+    import vaex_tpu as vt
+    n = 50_000
+    k = np.arange(n, dtype="i8")  # dense grouper, G > PARTITION_MIN_G
+    x = np.ones(n, dtype="f4")
+    x[7] = np.float32(3.4e38)
+    x[11] = np.inf
+    x[13] = -np.inf
+    df = vt.from_arrays(k=k, x=x)
+    out = df.groupby("k", agg={"mn": vt.agg.min("x"), "mx": vt.agg.max("x")})
+    mn = np.asarray(out["mn"].tolist())
+    mx = np.asarray(out["mx"].tolist())
+    assert mx[7] == np.float32(3.4e38)
+    assert np.isposinf(mx[11])
+    assert np.isneginf(mn[13])
+    assert mn[0] == 1.0 and mx[0] == 1.0
+
+
+def test_minmax_bounded_f32_partition_gate():
+    """Float min/max with a proven small bound still aggregates correctly
+    over a big grid (the partition fast path may engage)."""
+    import vaex_tpu as vt
+    rng = np.random.default_rng(3)
+    n = 60_000
+    k = rng.integers(0, 40_000, n).astype("i8")
+    x = rng.random(n).astype("f4") * 100
+    df = vt.from_arrays(k=k, x=x)
+    out = df.groupby("k", agg={"mn": vt.agg.min("x"), "mx": vt.agg.max("x")}, sort=True)
+    import pandas as pd
+    oracle = pd.DataFrame({"k": k, "x": x}).groupby("k").agg(mn=("x", "min"), mx=("x", "max"))
+    npt.assert_array_equal(np.asarray(out["mn"].tolist()), oracle["mn"].to_numpy())
+    npt.assert_array_equal(np.asarray(out["mx"].tolist()), oracle["mx"].to_numpy())

@@ -212,3 +212,43 @@ def test_spmd_whole_pass_device_resident():
     npt.assert_allclose(np.asarray(out["mn"].tolist()), oracle["mn"].to_numpy())
     # first (order-sensitive): global row ids must be right across shards
     assert float(np.asarray(df.first("x", "-x"))) == n - 1
+
+
+def test_shuffle_route_descending_sort(monkeypatch):
+    """ADVICE r2 (high): keys must pair with the right groups' aggregates on
+    the shuffle route when sort order permutes bin_values (descending)."""
+    import jax
+    if len(jax.devices()) < 2:
+        pytest.skip("needs multiple devices")
+    import vaex_tpu.groupby as gb
+    from vaex_tpu.parallel import distributed_executor
+    monkeypatch.setattr(gb, "SHUFFLE_MIN_G", 10)
+    rng = np.random.default_rng(11)
+    n = 3000
+    k = rng.integers(0, 200, n).astype("i8") * 3 + 1  # set grouper
+    x = rng.random(n)
+    df = vt.from_arrays(k=k, x=x)
+    df.executor = distributed_executor()
+    out = df.groupby("k", agg={"s": vt.agg.sum("x")}, sort=True, ascending=False)
+    import pandas as pd
+    oracle = (pd.DataFrame({"k": k, "x": x}).groupby("k").agg(s=("x", "sum"))
+              .sort_index(ascending=False))
+    npt.assert_array_equal(np.asarray(out["k"].tolist()), oracle.index.to_numpy())
+    npt.assert_allclose(np.asarray(out["s"].tolist()), oracle["s"].to_numpy(), rtol=1e-9)
+
+
+def test_groupby_agg_delay_returns_promise(monkeypatch):
+    import jax
+    if len(jax.devices()) < 2:
+        pytest.skip("needs multiple devices")
+    import vaex_tpu.groupby as gb
+    from vaex_tpu.parallel import distributed_executor
+    monkeypatch.setattr(gb, "SHUFFLE_MIN_G", 10)
+    n = 500
+    k = (np.arange(n, dtype="i8") % 40) * 3
+    df = vt.from_arrays(k=k, x=np.ones(n))
+    df.executor = distributed_executor()
+    p = df.groupby("k").agg({"s": vt.agg.sum("x")}, delay=True)
+    assert hasattr(p, "get")
+    out = p.get()
+    assert len(out) == 40

@@ -110,3 +110,21 @@ def test_set_device_global_limit():
     df = vt.from_arrays(k=np.arange(100, dtype="i8"))
     with pytest.raises(vt.RowLimitException):
         df._set_device_global("k", limit=10)
+
+
+def test_unique_bytes_non_utf8():
+    """ADVICE r2: non-UTF8 bytes must fall back to np.unique, not crash."""
+    import vaex_tpu as vt
+    raw = [b"\xff\xfe" + bytes([i % 7]) for i in range(5000)]
+    data = np.array(raw, dtype="S3")
+    from vaex_tpu.ops.setops import _unique_and_counts
+    uniq, _ = _unique_and_counts(data, keep_counts=False)
+    assert len(uniq) == 7
+
+
+def test_unique_object_mixed_types():
+    from vaex_tpu.ops.setops import _unique_and_counts
+    data = np.empty(6000, dtype=object)
+    data[:] = [((1, 2), (3, 4))[i % 2] for i in range(6000)]
+    uniq, counts = _unique_and_counts(data, keep_counts=True)
+    assert len(uniq) == 2

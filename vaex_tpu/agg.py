@@ -321,12 +321,21 @@ def _partition_extreme_column(op, ctx, mode):
     (f32/f16 inputs; ints short or range-bounded below 2^24), else None."""
     import jax.numpy as jnp
     dt = DataType(op.dtype_in).device
-    ok = dt.kind == "f" and dt.itemsize <= 4
-    if dt.kind in "iu":
+    if dt.kind == "f":
+        # the partition kernel uses FINITE sentinels (+-2^126) and maps any
+        # |v| >= 2^126 back to the identity at extraction — so the fast path
+        # is only sound when a minmax pre-pass proved every value finite and
+        # far below the sentinel (ADVICE r2: 3.4e38 fill values / real infs
+        # would silently drop the true extreme)
+        vb = op.value_bound
+        ok = (dt.itemsize <= 4 and vb is not None
+              and all(np.isfinite(v) for v in vb)
+              and builtins.max(abs(float(vb[0])), abs(float(vb[1]))) < 2.0 ** 120)
+    elif dt.kind in "iu":
         b = op._bounded_bits() if op.value_bound is not None else None
         ok = dt.itemsize <= 2 or (b is not None and b <= 24)
-    if dt.kind == "b":
-        ok = True
+    else:
+        ok = dt.kind == "b"
     if not ok:
         return None
     x = ctx.expr(op.expressions[0])
@@ -873,7 +882,12 @@ class AggregatorDescriptorBasic(AggregatorDescriptor):
             op = self.op_class(exprs, selection=self.selection, dtype_in=dtype_in,
                                **self.op_kwargs)
         if (self.op_class in (OpSum, OpMin, OpMax) and exprs
-                and dtype_in.numpy.kind in "iu"):
+                and (dtype_in.numpy.kind in "iu"
+                     # float min/max: the bound gates the partition kernel's
+                     # finite-sentinel extreme path (values must be proven
+                     # finite and << the sentinel, see ops/pallas_partition)
+                     or (self.op_class in (OpMin, OpMax)
+                         and dtype_in.numpy.kind == "f"))):
             # memo-read only: the pass itself was queued by prepare(); a
             # synchronous minmax here would split the aggregation pass
             op.value_bound = df._int_value_bound(self.expression, compute=False)
@@ -887,8 +901,10 @@ class AggregatorDescriptorBasic(AggregatorDescriptor):
             # big grids: kernel/sort cost scales with limb-channel count, so
             # a (memoized) minmax pre-pass that proves the values small pays
             # for itself many times over
+            kind = self._input_dtype(df).numpy.kind
             if (binners and grid_size(binners) > 4096
-                    and self._input_dtype(df).numpy.kind in "iu"):
+                    and (kind in "iu"
+                         or (kind == "f" and self.op_class in (OpMin, OpMax)))):
                 df._int_value_bound(self.expression, delay=True)
 
 

@@ -244,6 +244,11 @@ def _make_backend(spec: str):
 
 _backend = _make_backend(settings.CACHE)
 _enabled = _backend is not None
+# device-resident results (big grids kept in HBM): byte-bounded so eviction
+# releases device memory; never spilled to disk/redis (jax arrays don't
+# pickle usefully across processes)
+_device_backend = MemoryCacheLRU(
+    size_limit=int(os.environ.get("VAEX_TPU_CACHE_DEVICE_SIZE_LIMIT", 1 << 31)))
 
 
 def configure(spec: str):
@@ -263,7 +268,9 @@ def lookup(key):
     if not _enabled:
         return None
     with _lock:
-        value = _backend.get(key)
+        value = _device_backend.get(key)
+        if value is None:
+            value = _backend.get(key)
     if value is None:
         misses += 1
     else:
@@ -271,17 +278,22 @@ def lookup(key):
     return value
 
 
-def store(key, value):
+def store(key, value, device=False):
+    """``device=True`` routes jax device-resident results into a separate
+    byte-bounded LRU: eviction drops the array references and frees HBM —
+    the unbounded default backend would pin big result grids in device
+    memory forever (ADVICE r2)."""
     if not _enabled:
         return
     with _lock:
-        _backend.set(key, value)
+        (_device_backend if device else _backend).set(key, value)
 
 
 def clear():
     with _lock:
         if _backend is not None:
             _backend.clear()
+        _device_backend.clear()
 
 
 @contextlib.contextmanager

@@ -1142,6 +1142,13 @@ class DataFrame:
         never triggering a pass (safe mid-task-queueing)."""
         from .delayed import Promise
         expression = str(expression)
+
+        def _pair(mm):
+            lo, hi = np.asarray(mm)
+            if np.asarray(lo).dtype.kind == "f":
+                return (float(lo), float(hi))  # float bounds stay floats
+            return (int(lo), int(hi))
+
         memo = getattr(self.executor, "_minmax_memo", None)
         if memo is None:
             memo = self.executor._minmax_memo = {}
@@ -1149,8 +1156,7 @@ class DataFrame:
         val = memo.get(key)
         if isinstance(val, Promise) or hasattr(val, "then"):
             if getattr(val, "done", False) and val.exception is None:
-                lo, hi = np.asarray(val.get())
-                memo[key] = val = (int(lo), int(hi))
+                memo[key] = val = _pair(val.get())
             elif not compute:
                 return None
         if key in memo and isinstance(memo[key], (tuple, type(None))):
@@ -1161,8 +1167,7 @@ class DataFrame:
         if not compute:
             return None
         try:
-            lo, hi = np.asarray(self.minmax(expression))
-            memo[key] = (int(lo), int(hi))
+            memo[key] = _pair(self.minmax(expression))
         except Exception:
             memo[key] = None
         return memo[key]
@@ -1639,7 +1644,7 @@ class DataFrame:
                      row_limit=row_limit, copy=copy)
         if agg is None:
             return gb
-        return gb.agg(agg)
+        return gb.agg(agg, delay=delay)
 
     def binby(self, by=None, agg=None, limits=None, shape=128, sort=False, delay=False,
               progress=None):

@@ -157,11 +157,16 @@ class ExecutorLocal(Executor):
                     # this pass with the strategy disabled (sort path)
                     logger.warning("partition overflow; retrying pass on the "
                                    "sort strategy: %s", e)
-                    for task in tasks:
+                    # tasks that already finalized before the overflow was
+                    # detected must not be re-run (Promise.fulfill re-fires
+                    # callbacks unconditionally — downstream @delayed
+                    # finishers would execute twice)
+                    pending = [t for t in tasks if not t.done]
+                    for task in pending:
                         task._no_partition = True
                     from .utils import trace
-                    with trace(f"pass-retry[{','.join(t.name for t in tasks)}]"):
-                        self._execute_pass(df, tasks)
+                    with trace(f"pass-retry[{','.join(t.name for t in pending)}]"):
+                        self._execute_pass(df, pending)
                     continue
                 for task in tasks:
                     if not task.done:
@@ -418,7 +423,10 @@ class ExecutorLocal(Executor):
                 trimmed = outs_host
             result = task.finalize(state, trimmed)
             if hasattr(task, "_cache_key"):
-                cache_store(task._cache_key, result)
+                # device-resident results go to the byte-bounded device LRU
+                # (eviction frees HBM; the default backend is unbounded)
+                cache_store(task._cache_key, result,
+                            device=not getattr(task, "host_finalize", True))
         for task in host_tasks:
             result = task.get_result()
             if hasattr(task, "_cache_key"):

@@ -523,7 +523,11 @@ class GroupBy(GroupByBase):
             for name, values in zip(self.by_names, self.combined.bin_values_per_key):
                 columns[name] = np.asarray(values)
         else:
-            columns[self.by_names[0]] = g.bin_values
+            # seed with the RAW (ordinal-order) bin values: the blanket
+            # sort_indices gather below permutes every column once, so a
+            # pre-sorted bin_values here would be double-permuted and pair
+            # keys with the wrong groups' aggregates
+            columns[self.by_names[0]] = getattr(g, "bin_values_raw", g.bin_values)
         for name, kind, payload in plan:
             if kind == "count_star":
                 col = out["count"].astype(np.int64)
@@ -551,7 +555,7 @@ class GroupBy(GroupByBase):
         parsed = self._parse_actions(actions)
         routed = self._try_shuffle_agg(parsed)
         if routed is not None:
-            return routed
+            return self._maybe_delay(routed, delay)
         _run_prepare_phase(self.df, self.binners, parsed)
         promises = []
         has_count_star = any(desc.name == "count" and desc.expression in (None, "*")
@@ -587,7 +591,17 @@ class GroupBy(GroupByBase):
             counts = agg_module.extract_central(count_promise.get(), ndim)
 
         with trace("groupby assemble"):
-            return self._assemble(grids, counts)
+            return self._maybe_delay(self._assemble(grids, counts), delay)
+
+    @staticmethod
+    def _maybe_delay(result, delay):
+        """delay=True callers expect a promise (reference groupby.py:484
+        returns delayed results); execution here is eager, so hand back an
+        already-fulfilled one rather than silently returning the DataFrame."""
+        if not delay:
+            return result
+        from .delayed import Promise
+        return Promise().fulfill(result)
 
     def _assemble(self, grids, counts):
         from . import from_dict

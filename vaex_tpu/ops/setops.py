@@ -64,17 +64,24 @@ def _unique_and_counts(data, keep_counts):
         try:
             import pyarrow as pa
             import pyarrow.compute as pc
-            arr = pa.array(data, type=pa.large_utf8())
-            if keep_counts:
-                vc = pc.value_counts(arr)
-                uniq = np.asarray(vc.field("values").to_pylist(), dtype=object)
-                cnt = np.asarray(vc.field("counts")).astype(np.int64)
-                order = np.argsort(uniq, kind="stable")
-                return uniq[order], cnt[order]
-            uniq = np.asarray(pc.unique(arr).to_pylist(), dtype=object)
-            return np.sort(uniq), None
         except ImportError:  # pragma: no cover
-            pass
+            pa = None
+        if pa is not None:
+            try:
+                arr = pa.array(data, type=pa.large_utf8())
+                if keep_counts:
+                    vc = pc.value_counts(arr)
+                    uniq = np.asarray(vc.field("values").to_pylist(), dtype=object)
+                    cnt = np.asarray(vc.field("counts")).astype(np.int64)
+                    order = np.argsort(uniq, kind="stable")
+                    return uniq[order], cnt[order]
+                uniq = np.asarray(pc.unique(arr).to_pylist(), dtype=object)
+                return np.sort(uniq), None
+            except (pa.lib.ArrowInvalid, pa.lib.ArrowTypeError, ValueError, TypeError):
+                # non-UTF8 bytes / object arrays holding non-strings: fall
+                # through to np.unique which handled these before the fast
+                # path existed (ADVICE r2)
+                pass
     if keep_counts:
         return np.unique(data, return_counts=True)
     return np.unique(data), None

@@ -399,8 +399,8 @@ class TaskAggregations(Task):
         G = grid_size(self.binners)
         zeros = [tuple(jnp.asarray(z) for z in op.initial_state(G)) for op in self.subtasks]
         # each device sees only its row shard: the dense-rank strategy's
-        # every-bin-observed invariant does not hold per shard (and the
-        # partition kernel is gated off via spmd_shard too)
+        # every-bin-observed invariant does not hold per shard (the
+        # partition kernel has no such invariant and DOES run per shard)
         ctx.spmd_shard = True
         deltas, _ = self.update(zeros + [jnp.zeros((), jnp.int32)], ctx)
         new_state = [tuple(op.merge(tuple(s), tuple(d), axis_name))
