@@ -96,9 +96,10 @@ TOLERANCES = {
     "q3": {"v1": 0, "v3": 1e-9},
     "q4": {"v1": 1e-12, "v2": 1e-12, "v3": 1e-9},
     "q5": {"v1": 0, "v2": 0, "v3": 1e-9},
-    # sd via raw moments (same formula as the reference, agg.py:208-229)
-    # loses ~sqrt(eps*E[x^2]) absolute on near-constant groups
-    "q6": {"median_v3": 0.35, "sd_v3": 1e-4},
+    # median is EXACT (one carried (cell, value) sort, agg.py
+    # OpPercentileExact — the reference is approx-only); sd moments ride
+    # exact per-segment sums (gridagg precise channels)
+    "q6": {"median_v3": 1e-9, "sd_v3": 1e-9},
     "q7": {"max_v1": 0, "min_v2": 0},
     "q8": {"largest1_v3": 0, "largest2_v3": 0},
     "q9": {"r2": 1e-9},

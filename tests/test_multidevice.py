@@ -252,3 +252,102 @@ def test_groupby_agg_delay_returns_promise(monkeypatch):
     assert hasattr(p, "get")
     out = p.get()
     assert len(out) == 40
+
+
+def test_shuffle_full_agg_surface(monkeypatch):
+    """VERDICT r2 #4: min/max/std/var/nunique through the shuffle at G=1e5
+    match the single-device path bit-for-bit (ints) / 1e-9 (floats)."""
+    import jax
+    if len(jax.devices()) < 2:
+        pytest.skip("needs multiple devices")
+    import vaex_tpu.groupby as gb
+    from vaex_tpu.parallel import distributed_executor
+    rng = np.random.default_rng(21)
+    n = 100_000
+    G = 100_000
+    k = rng.integers(0, G, n).astype("i8") * 2 + 1  # sparse -> set grouper
+    x = rng.normal(0, 10, n)
+    v = rng.integers(-1000, 1000, n).astype("i8")
+    w = rng.integers(0, 5, n).astype("i4")
+    big = rng.integers(-(2**62), 2**62, n).astype("i8")  # f64-lossy values
+    agg = {"mn": vt.agg.min("x"), "mx": vt.agg.max("x"),
+           "vmn": vt.agg.min("v"), "vmx": vt.agg.max("v"),
+           "bmn": vt.agg.min("big"), "bmx": vt.agg.max("big"),
+           "sd": vt.agg.std("x"), "vr": vt.agg.var("x"),
+           "nu": vt.agg.nunique("w"), "s": vt.agg.sum("v"), "c": "count"}
+    df1 = vt.from_arrays(k=k, x=x, v=v, w=w, big=big)
+    single = df1.groupby("k", agg=agg, sort=True)
+
+    monkeypatch.setattr(gb, "SHUFFLE_MIN_G", 10)
+    df2 = vt.from_arrays(k=k, x=x, v=v, w=w, big=big)
+    df2.executor = distributed_executor()
+    routed = df2.groupby("k", agg=agg, sort=True)
+
+    npt.assert_array_equal(np.asarray(routed["k"].tolist()), np.asarray(single["k"].tolist()))
+    for c in ("vmn", "vmx", "bmn", "bmx", "nu", "s", "c"):
+        npt.assert_array_equal(np.asarray(routed[c].tolist()), np.asarray(single[c].tolist()),
+                               err_msg=c)
+    for c in ("mn", "mx"):
+        npt.assert_array_equal(np.asarray(routed[c].tolist()), np.asarray(single[c].tolist()),
+                               err_msg=c)
+    for c in ("sd", "vr"):
+        npt.assert_allclose(np.asarray(routed[c].tolist()), np.asarray(single[c].tolist()),
+                            rtol=1e-9, atol=1e-12, err_msg=c)
+
+
+def test_shuffle_selection_and_nulls(monkeypatch):
+    import jax
+    if len(jax.devices()) < 2:
+        pytest.skip("needs multiple devices")
+    import vaex_tpu.groupby as gb
+    from vaex_tpu.parallel import distributed_executor
+    rng = np.random.default_rng(5)
+    n = 20_000
+    k = rng.integers(0, 2000, n).astype("i8") * 3
+    x = rng.normal(0, 1, n)
+    x[::7] = np.nan
+    m = np.ma.MaskedArray(rng.integers(0, 9, n).astype("f8"), rng.random(n) < 0.1)
+    agg = {"s": vt.agg.sum("x", selection="x > 0"),
+           "c": vt.agg.count("x", selection="x > 0"),
+           "mn": vt.agg.min("x", selection="x > 0"),
+           "nu": vt.agg.nunique("m"),
+           "nud": vt.agg.nunique("m", dropmissing=True)}
+    df1 = vt.from_arrays(k=k, x=x, m=m)
+    single = df1.groupby("k", agg=agg, sort=True)
+    monkeypatch.setattr(gb, "SHUFFLE_MIN_G", 10)
+    df2 = vt.from_arrays(k=k, x=x, m=m)
+    df2.executor = distributed_executor()
+    routed = df2.groupby("k", agg=agg, sort=True)
+    npt.assert_array_equal(np.asarray(routed["k"].tolist()), np.asarray(single["k"].tolist()))
+    npt.assert_allclose(np.asarray(routed["s"].tolist()), np.asarray(single["s"].tolist()),
+                        rtol=1e-9, atol=1e-12)
+    for c in ("c", "nu", "nud"):
+        npt.assert_array_equal(np.asarray(routed[c].tolist()), np.asarray(single[c].tolist()),
+                               err_msg=c)
+    npt.assert_array_equal(np.asarray(routed["mn"].tolist()), np.asarray(single["mn"].tolist()))
+
+
+def test_shuffle_multikey_cartesian(monkeypatch):
+    import jax
+    if len(jax.devices()) < 2:
+        pytest.skip("needs multiple devices")
+    import vaex_tpu.groupby as gb
+    from vaex_tpu.parallel import distributed_executor
+    rng = np.random.default_rng(9)
+    n = 30_000
+    a = rng.integers(0, 500, n).astype("i8")
+    b = rng.integers(0, 400, n).astype("i8")
+    x = rng.normal(0, 1, n)
+    agg = {"s": vt.agg.sum("x"), "c": "count"}
+    df1 = vt.from_arrays(a=a, b=b, x=x)
+    single = df1.groupby(["a", "b"], agg=agg, sort=True, assume_sparse=False)
+    monkeypatch.setattr(gb, "SHUFFLE_MIN_G", 10)
+    df2 = vt.from_arrays(a=a, b=b, x=x)
+    df2.executor = distributed_executor()
+    routed = df2.groupby(["a", "b"], agg=agg, sort=True, assume_sparse=False)
+    assert len(routed) == len(single)
+    for c in ("a", "b", "c"):
+        npt.assert_array_equal(np.asarray(routed[c].tolist()), np.asarray(single[c].tolist()),
+                               err_msg=c)
+    npt.assert_allclose(np.asarray(routed["s"].tolist()), np.asarray(single["s"].tolist()),
+                        rtol=1e-9, atol=1e-12)

@@ -207,3 +207,52 @@ def test_agg_median_multitile():
     pdf = df.to_pandas_df()
     oracle = pdf.groupby("k")["v3"].median().sort_index()
     np.testing.assert_allclose(np.asarray(out["med"].values), oracle.to_numpy(), atol=0.35)
+
+
+def test_median_exact_groupby():
+    """VERDICT r2 #5: per-group median is EXACT on the sort path (the
+    reference is approx-only, dataframe.py:1419-1524)."""
+    rng = np.random.default_rng(13)
+    n = 50_000
+    k = rng.integers(0, 3_000, n).astype("i8")
+    v = rng.random(n) * 100
+    df = vt.from_arrays(k=k, v=v)
+    out = df.groupby("k", agg={"med": vt.agg.median_approx("v"),
+                               "q75": vt.agg.percentile_approx("v", 75.0)}, sort=True)
+    import pandas as pd
+    oracle = pd.DataFrame({"k": k, "v": v}).groupby("k").agg(
+        med=("v", "median"), q75=("v", lambda s: s.quantile(0.75)))
+    npt.assert_allclose(np.asarray(out["med"].tolist()), oracle["med"].to_numpy(),
+                        rtol=0, atol=1e-12)
+    npt.assert_allclose(np.asarray(out["q75"].tolist()), oracle["q75"].to_numpy(),
+                        rtol=0, atol=1e-12)
+
+
+def test_median_exact_with_nulls_and_forced_modes():
+    rng = np.random.default_rng(7)
+    n = 20_000
+    k = rng.integers(0, 500, n).astype("i8")
+    v = np.ma.MaskedArray(rng.random(n) * 10, rng.random(n) < 0.2)
+    df = vt.from_arrays(k=k, v=v)
+    import pandas as pd
+    out = df.groupby("k", agg={"med": vt.agg.median_approx("v")}, sort=True)
+    oracle = pd.DataFrame({"k": k, "v": np.where(v.mask, np.nan, v.data)}).groupby("k").agg(
+        med=("v", "median"))
+    npt.assert_allclose(np.asarray(out["med"].tolist()), oracle["med"].to_numpy(),
+                        rtol=0, atol=1e-12)
+    # exact=False keeps the histogram approximation
+    out2 = df.groupby("k", agg={"med": vt.agg.median_approx("v", exact=False)}, sort=True)
+    err = np.nanmax(np.abs(np.asarray(out2["med"].tolist()) - oracle["med"].to_numpy()))
+    assert 1e-9 < err < 0.5
+
+
+def test_std_precise_on_sort_paths():
+    """Variance moments ride exact per-segment sums: std of a constant
+    group is exactly 0, not sqrt(cumsum residue)."""
+    rng = np.random.default_rng(2)
+    n = 60_000
+    k = rng.integers(0, 40_000, n).astype("i8")  # dense grouper, sort path
+    x = np.full(n, 7.25)
+    df = vt.from_arrays(k=k, x=x)
+    out = df.groupby("k", agg={"sd": vt.agg.std("x")})
+    assert np.nanmax(np.asarray(out["sd"].tolist())) == 0.0

@@ -275,6 +275,10 @@ class OpSum(AggOperation):
 
 class OpSumMoment(AggOperation):
     name = "summoment"
+    # var/std subtract mean^2 from these sums: cumsum-difference residue
+    # would turn the std of a constant cell into sqrt(noise), so sort-path
+    # segment sums use exact per-segment scatter-adds for moments
+    precise_additive = True
 
     def __init__(self, expressions, moment, **kwargs):
         super().__init__(expressions, **kwargs)
@@ -734,6 +738,79 @@ class OpPercentile(AggOperation):
         return jnp.stack(outs, axis=1)
 
 
+class OpPercentileExact(AggOperation):
+    """EXACT per-cell percentiles via one (cell, value) lex sort + midpoint
+    gathers — within the carried sort each cell's values are contiguous and
+    sorted, so the percentile is a linear interpolation of the two bracketing
+    order statistics (numpy/pandas semantics, exact where they are).
+
+    Requires the WHOLE pass in ONE update call (descriptor routes here only
+    when the executor will present a single tile and no mesh shards rows) —
+    partial sorts cannot merge.  Beats the reference, whose median is
+    approx-only (dataframe.py:1419-1524 binned interpolation)."""
+
+    name = "percentile_exact"
+    whole_tile = True  # TaskAggregations.preferred_tile_rows -> n_total
+
+    def __init__(self, expressions, percentages, **kwargs):
+        super().__init__(expressions, **kwargs)
+        self.percentages = [float(p) for p in
+                            (percentages if isinstance(percentages, (list, tuple))
+                             else [percentages])]
+
+    def fingerprint(self):
+        return fingerprint(super().fingerprint(), tuple(self.percentages))
+
+    def initial_state(self, G):
+        import jax.numpy as jnp
+        P = len(self.percentages)
+        # second slot: update-call counter — a loud runtime guard against a
+        # pass that splits into tiles anyway (partial sorts cannot merge)
+        return (jnp.full(G * P, jnp.nan, jnp.float64), jnp.zeros((), jnp.int32))
+
+    def update(self, state, flat_idx, ctx):
+        import jax
+        import jax.numpy as jnp
+        P = len(self.percentages)
+        G = state[0].shape[0] // P
+        x = ctx.expr(self.expressions[0])
+        valid = gridagg.value_valid(x, self._valid(ctx))
+        v = jnp.where(valid, x.data.astype(jnp.float64), jnp.inf)
+        idx = jnp.where(valid, flat_idx, jnp.int32(G)).astype(jnp.int32)
+        sidx, sval = jax.lax.sort((idx, v), num_keys=2)
+        bins = jnp.arange(G, dtype=sidx.dtype)
+        starts = jnp.searchsorted(sidx, bins, side="left")
+        ends = jnp.searchsorted(sidx, bins, side="right")
+        n = (ends - starts).astype(jnp.float64)
+        N = sidx.shape[0]
+        outs = []
+        for pct in self.percentages:
+            p = jnp.clip(pct / 100.0 * (n - 1), 0.0, jnp.maximum(n - 1, 0.0))
+            lo = jnp.floor(p)
+            v_lo = sval[jnp.clip(starts + lo.astype(jnp.int32), 0, N - 1)]
+            v_hi = sval[jnp.clip(starts + jnp.ceil(p).astype(jnp.int32), 0, N - 1)]
+            value = v_lo + (p - lo) * (v_hi - v_lo)
+            outs.append(jnp.where(n > 0, value, jnp.nan))
+        return (jnp.concatenate(outs) if P > 1 else outs[0],
+                state[1] + jnp.int32(1))
+
+    def get_result(self, state):
+        import jax.numpy as jnp
+        if int(np.asarray(state[1])) != 1:
+            raise RuntimeError("exact percentile saw %d tiles; the pass must "
+                               "present all rows in one tile (descriptor "
+                               "routing bug)" % int(np.asarray(state[1])))
+        P = len(self.percentages)
+        if P == 1:
+            return state[0]
+        return jnp.stack(jnp.split(state[0], P), axis=1)
+
+    def merge(self, state, delta, axis_name):
+        raise NotImplementedError("exact percentile cannot merge row shards; "
+                                  "the descriptor must route to the approx op "
+                                  "under a mesh")
+
+
 _PAIR_SENTINEL = np.int64(2**63 - 1)
 
 # presence grids above this byte count switch nunique to the sorted-pair op
@@ -952,7 +1029,9 @@ class AggregatorDescriptorVar(AggregatorDescriptor):
         def finish(m1, m2, n):
             with np.errstate(divide="ignore", invalid="ignore"):
                 mean = m1 / n
-                var = m2 / n - mean ** 2
+                # E[x^2] >= E[x]^2 mathematically: clamp rounding residue so
+                # sqrt never manufactures NaN for near-constant cells
+                var = np.maximum(m2 / n - mean ** 2, 0.0)
                 if self.ddof:
                     # n <= ddof has no unbiased estimate (pandas: NaN); the
                     # raw-moment var may be a tiny rounding residue there, so
@@ -1044,19 +1123,59 @@ class AggregatorDescriptorPercentile(AggregatorDescriptor):
     histogram limits, like the reference's ``limits`` pre-pass."""
 
     def __init__(self, expression, percentage=50.0, percentile_shape=1024,
-                 selection=None, edges=False):
+                 selection=None, edges=False, exact=None):
         super().__init__("percentile", expression, selection, edges)
         self.percentage = percentage
-        self.percentile_shape = int(percentile_shape)
+        # percentile_shape=None = force exact (reference parity plus: the
+        # reference is approx-only, dataframe.py:1419-1524)
+        self.exact = (exact if exact is not None
+                      else (True if percentile_shape is None else None))
+        self.percentile_shape = int(percentile_shape or 1024)
 
     def prepare(self, df, binners):
+        if self._exact_possible(df) and self.exact is not False:
+            return  # exact path needs no limits pre-pass
         if self._limits_promise is None:
             self._limits_promise = df.minmax(self.expression, delay=True)
 
     _limits_promise = None
 
+    def _exact_possible(self, df):
+        """One (cell, value) sort of the WHOLE pass: needs all rows in one
+        tile (device-resident data lets the executor raise the tile to
+        n_total; host data must fit the configured tile) and no row-sharding
+        mesh (partial sorts cannot merge)."""
+        from . import settings as _settings
+        mesh = getattr(df.executor, "mesh", None)
+        if mesh is not None and mesh.size > 1:
+            return False
+        if not DataType(df.data_type(self.expression)).is_primitive:
+            return False
+        ds = df.dataset_for_execution()
+        n = ds.row_count
+        if n <= (df._tile_rows or _settings.TILE_ROWS):
+            return True
+        try:
+            from .execution import classify_leaves, expression_is_device
+            if not expression_is_device(df, self.expression):
+                return False
+            _, columns, _ = classify_leaves(df, self.expression)
+            return ds.device_columns(sorted(columns)) is not None
+        except Exception:
+            return False
+
     def add_tasks(self, df, binners, progress=None):
         from .ops.binners import grid_size
+        exact_ok = self.exact is not False and self._exact_possible(df)
+        if self.exact is True and not exact_ok:
+            raise ValueError("exact percentile needs single-host execution "
+                             "with the whole pass in one tile; use the approx "
+                             "aggregator (percentile_shape=1024) instead")
+        if exact_ok:
+            op = OpPercentileExact([self.expression], self.percentage,
+                                   selection=self.selection,
+                                   dtype_in=self._input_dtype(df))
+            return [df.executor.schedule_aggregation(df, binners, op)]
         # limits pre-pass; normally resolved by the prepare() phase so it
         # fuses with the other descriptors' pre-passes
         if self._limits_promise is not None and getattr(self._limits_promise, "done", False):
@@ -1105,16 +1224,27 @@ class AggregatorDescriptorTopK(AggregatorDescriptor):
 
 
 def percentile_approx(expression, percentage=50.0, percentile_shape=1024,
-                      selection=None, edges=False):
+                      selection=None, edges=False, exact=None):
     return AggregatorDescriptorPercentile(expression, percentage, percentile_shape,
-                                          selection=selection, edges=edges)
+                                          selection=selection, edges=edges,
+                                          exact=exact)
 
 
-def median_approx(expression, percentile_shape=1024, selection=None, edges=False):
+def median_approx(expression, percentile_shape=1024, selection=None, edges=False,
+                  exact=None):
+    """Per-cell median: EXACT (one carried sort) whenever the pass fits one
+    tile on one host — beating the reference's approx-only semantics
+    (dataframe.py:1419-1524) — with the binned-histogram approximation as
+    the fallback.  ``exact=True`` forces the sort path (raises if
+    impossible), ``exact=False`` forces the approximation."""
     desc = AggregatorDescriptorPercentile(expression, 50.0, percentile_shape,
-                                          selection=selection, edges=edges)
+                                          selection=selection, edges=edges,
+                                          exact=exact)
     desc.name = "median"
     return desc
+
+
+median = median_approx  # exact-when-possible (the reference has no exact median)
 
 
 def max_n(expression, k, selection=None, edges=False):

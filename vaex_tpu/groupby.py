@@ -456,6 +456,243 @@ def _run_prepare_phase(df, binners, parsed):
             df.execute()
 
 
+_NU_NAN, _NU_NULL = 1, 2  # aux codes in the nunique bit-pair exchange
+
+
+def _run_shuffle_plan(df, ordinal_expression, plan, G, mesh, slack=4, max_retries=3):
+    """Evaluate sources once, build the channel set for the widened shuffle
+    (sums + extremes + nunique bit pairs), run it with slack-doubling retry,
+    and apply the per-output finishers.  Returns {out_name: [G] numpy} plus
+    the always-present '__count' (observed-cells grid for empty-cell drops)."""
+    import jax.numpy as jnp
+    from . import array_types
+    from .ops import gridagg
+    from .parallel.shuffle import shuffle_segment_grids
+
+    codes = np.asarray(df.evaluate(ordinal_expression, array_type="numpy"),
+                       dtype=np.int32)
+    N = codes.shape[0]
+
+    source_cache = {}
+
+    def source(expr):
+        """raw (data, null_mask-or-None) for an expression, evaluated once."""
+        expr = str(expr)
+        if expr not in source_cache:
+            values = df.evaluate(expr, array_type="numpy")
+            data, mask = array_types.data_and_mask(values)
+            source_cache[expr] = (data, None if mask is None
+                                  else np.asarray(mask, bool))
+        return source_cache[expr]
+
+    def valid_of(expr):
+        """validity with null AND NaN folded in (reference semantics:
+        count/sum/min/max skip both, superagg.cpp:168-191)."""
+        data, mask = source(expr)
+        valid = np.ones(len(data), bool) if mask is None else ~mask
+        if data.dtype.kind == "f":
+            valid &= ~np.isnan(data)
+        return valid
+
+    def sel_mask(sel):
+        if sel is None:
+            return None
+        data, _ = source(sel)
+        return np.asarray(data, bool) & valid_of(sel)
+
+    def valid_and_sel(expr, sel):
+        data, _ = source(expr)
+        valid = valid_of(expr)
+        s = sel_mask(sel)
+        return data, (valid if s is None else (valid & s))
+
+    add_channels = [np.ones(N, np.float64)]  # channel 0: observed-row count
+    precise_add = set()  # channels needing exact-per-segment sums (moments)
+    ext_channels = []  # (values np, mode)
+    nu_channels = []   # (bits np i64, aux np i32)
+    finishers = []     # (out_name, fn(sums, exts, nus) -> column)
+
+    def add(col, precise=False):
+        add_channels.append(np.ascontiguousarray(col, np.float64))
+        if precise:
+            precise_add.add(len(add_channels) - 1)
+        return len(add_channels) - 1
+
+    def add_ext(col, mode):
+        ext_channels.append((col, mode))
+        return len(ext_channels) - 1
+
+    for out_name, kind, p in plan:
+        sel = p.get("sel")
+        if kind == "count_star":
+            if sel is None:
+                finishers.append((out_name,
+                                  lambda S, E, U: S[:, 0].astype(np.int64)))
+            else:
+                i = add(sel_mask(sel).astype(np.float64))
+                finishers.append((out_name,
+                                  lambda S, E, U, i=i: S[:, i].astype(np.int64)))
+        elif kind == "count":
+            _, v = valid_and_sel(p["expr"], sel)
+            i = add(v.astype(np.float64))
+            finishers.append((out_name,
+                              lambda S, E, U, i=i: S[:, i].astype(np.int64)))
+        elif kind == "sum":
+            data, v = valid_and_sel(p["expr"], sel)
+            i = add(np.where(v, data.astype(np.float64), 0.0))
+            dt = p["dtype"]
+            if dt.numpy.kind in "iu":
+                out_dt = dt.upcast().numpy
+                finishers.append((out_name,
+                                  lambda S, E, U, i=i, d=out_dt: S[:, i].astype(d)))
+            else:
+                finishers.append((out_name, lambda S, E, U, i=i: S[:, i]))
+        elif kind == "mean":
+            data, v = valid_and_sel(p["expr"], sel)
+            i = add(np.where(v, data.astype(np.float64), 0.0))
+            j = add(v.astype(np.float64))
+
+            def fin_mean(S, E, U, i=i, j=j):
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    return S[:, i] / S[:, j]
+            finishers.append((out_name, fin_mean))
+        elif kind in ("min", "max"):
+            data, v = valid_and_sel(p["expr"], sel)
+            dt = p["dtype"]
+            npdt = dt.numpy
+            wide_int = (npdt.kind in "iu" and npdt.itemsize == 8) or npdt.kind in "Mm"
+            if wide_int:
+                # int64/uint64/datetime ride an int64 channel (f64 is lossy
+                # past 2^53); uint64 order-preserved by flipping the sign bit
+                if npdt.kind == "u":
+                    enc = (data.astype(np.uint64) ^ np.uint64(1 << 63)).view(np.int64)
+                else:
+                    enc = data.view(np.int64) if npdt.kind in "Mm" else data.astype(np.int64)
+                fill = (np.iinfo(np.int64).max if kind == "min"
+                        else np.iinfo(np.int64).min)
+                e = add_ext(np.where(v, enc, fill).astype(np.int64), kind)
+
+                def fin_ext_i(S, E, U, e=e, npdt=npdt, kind=kind):
+                    grid = np.asarray(E[e])
+                    if npdt.kind == "u":
+                        return (grid.view(np.uint64) ^ np.uint64(1 << 63))
+                    if npdt.kind in "Mm":
+                        return grid.view(npdt)
+                    return grid
+                finishers.append((out_name, fin_ext_i))
+            else:
+                fill = np.inf if kind == "min" else -np.inf
+                e = add_ext(np.where(v, data.astype(np.float64), fill), kind)
+
+                def fin_ext_f(S, E, U, e=e, npdt=npdt, kind=kind):
+                    grid = np.asarray(E[e])
+                    if npdt.kind in "iub":
+                        # empty cells keep the reference's type-extreme fill
+                        idt = np.dtype(np.uint8) if npdt.kind == "b" else npdt
+                        fill_i = (np.iinfo(idt).max if kind == "min"
+                                  else np.iinfo(idt).min)
+                        safe = np.where(np.isfinite(grid), grid, 0).astype(npdt)
+                        return np.where(np.isfinite(grid), safe,
+                                        np.asarray(fill_i).astype(npdt))
+                    return grid.astype(npdt)
+                finishers.append((out_name, fin_ext_f))
+        elif kind in ("std", "var"):
+            data, v = valid_and_sel(p["expr"], sel)
+            x = np.where(v, data.astype(np.float64), 0.0)
+            # moments cancel in m2/n - mean^2: cumsum-difference noise turns
+            # the std of a constant group into sqrt(residue) — use exact
+            # per-segment sums for these channels
+            i = add(x, precise=True)
+            j = add(x * x, precise=True)
+            c = add(v.astype(np.float64))
+            ddof = p.get("ddof", 0)
+            is_std = kind == "std"
+
+            def fin_var(S, E, U, i=i, j=j, c=c, ddof=ddof, is_std=is_std):
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    n = S[:, c]
+                    mean = S[:, i] / n
+                    # E[x^2] >= E[x]^2 mathematically: negatives are rounding
+                    # residue (segment sums come from cumsum differences)
+                    var = np.maximum(S[:, j] / n - mean ** 2, 0.0)
+                    if ddof:
+                        var = np.where(n > ddof, var * n / (n - ddof), np.nan)
+                    return np.sqrt(var) if is_std else var
+            finishers.append((out_name, fin_var))
+        elif kind == "nunique":
+            data, mask = source(p["expr"])
+            s = sel_mask(sel)
+            in_sel = np.ones(N, bool) if s is None else s
+            isnull = np.zeros(N, bool) if mask is None else mask
+            npdt = data.dtype
+            if npdt.kind == "f":
+                d = data.astype(np.float64, copy=True)
+                d[d == 0] = 0.0  # -0.0 == 0.0
+                bits = d.view(np.int64).copy()
+                isnan = np.isnan(data) & ~isnull  # masked garbage is null, not NaN
+            else:
+                if npdt.kind == "u" and npdt.itemsize == 8:
+                    bits = data.view(np.int64).copy()
+                elif npdt.kind in "Mm":
+                    bits = data.view(np.int64).astype(np.int64)
+                else:
+                    bits = data.astype(np.int64)
+                isnan = np.zeros(N, bool)
+            aux = np.zeros(N, np.int32)
+            aux[isnan] = _NU_NAN
+            aux[isnull] = _NU_NULL
+            aux[~in_sel] = 3  # unselected rows never count
+            nu_channels.append((bits, aux))
+            u = len(nu_channels) - 1
+            extra = []
+            if not p["dropnan"]:
+                extra.append(add((isnan & in_sel).astype(np.float64)))
+            if not p["dropmissing"]:
+                extra.append(add((isnull & in_sel).astype(np.float64)))
+
+            def fin_nu(S, E, U, u=u, extra=tuple(extra)):
+                cnt = np.asarray(U[u]).astype(np.int64)
+                for i in extra:
+                    cnt = cnt + (S[:, i] > 0).astype(np.int64)
+                return cnt
+            finishers.append((out_name, fin_nu))
+
+    add_stack = jnp.asarray(np.stack(add_channels, axis=1))
+    codes_j = jnp.asarray(codes)
+    D = mesh.shape[mesh.axis_names[0]]
+    pad = (-N) % D
+    # padding rows carry code G (dropped in the exchange), so channel fill
+    # values are irrelevant
+    ext_j = [(jnp.asarray(np.concatenate([v, np.zeros(pad, v.dtype)]) if pad else v), m)
+             for v, m in ext_channels]
+    nu_j = []
+    for bits, aux in nu_channels:
+        if pad:
+            bits = np.concatenate([bits, np.zeros(pad, bits.dtype)])
+            aux = np.concatenate([aux, np.full(pad, 3, aux.dtype)])
+        nu_j.append((jnp.asarray(bits), jnp.asarray(aux)))
+    if pad:
+        codes_j = jnp.concatenate([codes_j, jnp.full(pad, G, jnp.int32)])
+        add_stack = jnp.concatenate(
+            [add_stack, jnp.zeros((pad, add_stack.shape[1]), add_stack.dtype)])
+
+    dropped = None
+    for attempt in range(max_retries + 1):
+        sums, exts, nus, dropped = shuffle_segment_grids(
+            mesh, codes_j, add_stack, ext_j, nu_j, G, slack=slack,
+            precise_add=tuple(sorted(precise_add)))
+        if not int(dropped):
+            S = np.asarray(sums)
+            E = [np.asarray(e) for e in exts]
+            U = [np.asarray(u) for u in nus]
+            out = {name: fin(S, E, U) for name, fin in finishers}
+            out["__count"] = S[:, 0].astype(np.int64)
+            return out
+        slack *= 2  # skew: double per-bucket capacity and re-shuffle
+    raise RuntimeError(f"shuffle overflow after {max_retries} slack doublings: "
+                       f"{int(dropped)} rows still dropped (pathological key skew)")
+
+
 # mesh groupby: above this cardinality the replicated-grid + psum merge
 # (every device holds all G cells) loses to the all-to-all shuffle where
 # each device owns G/D cells (reference's combine='auto' occupancy
@@ -470,55 +707,119 @@ class GroupBy(GroupByBase):
         """Mesh + high-cardinality: route to the all-to-all shuffle
         (parallel/shuffle.py) instead of replicated grids.  Returns the
         result DataFrame, or None when the query shape doesn't qualify
-        (then the replicated-grid path runs).  Sums ride f64 through the
-        shuffle (exact to 2^53; the reference's float sums carry the same
-        order-nondeterminism, SURVEY §2.4)."""
+        (then the replicated-grid path runs).
+
+        Covers the full agg surface the reference routes through its
+        partitioned hashmaps (hash_primitives.hpp:96-281): count/sum/mean,
+        min/max (f64 ride for exact-in-f64 dtypes, int64 channel for wide
+        ints/datetimes), std/var (additive moments), nunique (bit-pattern
+        exchange + per-segment distinct count), selections (host-side mask
+        fold), and cartesian multi-key (fused ordinal, empty combinations
+        dropped).  Sums ride f64 (exact to 2^53; the reference's float sums
+        carry the same order-nondeterminism, SURVEY §2.4)."""
         mesh = getattr(self.df.executor, "mesh", None)
-        if mesh is None or mesh.size <= 1 or len(self.by) != 1:
+        if mesh is None or mesh.size <= 1:
             return None
-        g = self.by[0]
-        G = int(getattr(g, "N", 0))
-        if G <= SHUFFLE_MIN_G:
+        df = self.df
+        # ---- grid shape: single / combined grouper or fused cartesian keys
+        multi_shape = None
+        if len(self.by) == 1:
+            g = self.by[0]
+            G = int(getattr(g, "N", 0))
+            ordinal = getattr(g, "ordinal_expression", None)
+        else:
+            ords = [getattr(gr, "ordinal_expression", None) for gr in self.by]
+            if any(o is None for o in ords):
+                return None
+            Ns = [int(gr.N) for gr in self.by]
+            G = int(np.prod(Ns, dtype=np.int64))
+            if G > (1 << 31) - 2:
+                return None
+            mult = 1
+            parts = []
+            for o, n in zip(reversed(ords), reversed(Ns)):
+                parts.append(f"(astype({o}, 'int64') * {mult})" if mult != 1
+                             else f"(astype({o}, 'int64'))")
+                mult *= n
+            ordinal = " + ".join(reversed(parts))
+            multi_shape = Ns
+            g = None
+        if G <= SHUFFLE_MIN_G or ordinal is None:
             return None
-        ordinal = getattr(g, "ordinal_expression", None)
-        if ordinal is None:
+        plan = self._shuffle_plan(parsed)
+        if plan is None:
             return None
-        plan = []  # (out_name, kind, payload)
+        with trace("shuffle groupby (all-to-all)"):
+            out_columns = _run_shuffle_plan(df, ordinal, plan, G, mesh)
+        return self._shuffle_assemble(out_columns, g, multi_shape)
+
+    def _shuffle_plan(self, parsed):
+        """Per-output channel requests, or None when a desc can't ride the
+        shuffle (e.g. first/median) — then the replicated path runs."""
+        df = self.df
+        plan = []  # (out_name, kind, payload dict)
         for name, desc in parsed:
-            if desc.selection is not None:
+            try:
+                sel = df._selection_expression(desc.selection)
+            except ValueError:
                 return None
             e = desc.expression
-            if desc.name == "count" and e in (None, "*"):
-                plan.append((name, "count_star", None))
-            elif desc.name == "count":
-                plan.append((name, "sum", f"astype(notna({e}), 'float64')"))
-            elif desc.name == "sum":
-                plan.append((name, "sumcast",
-                             (f"where(notna({e}), astype({e}, 'float64'), 0.0)",
-                              DataType(self.df.data_type(e)))))
-            elif desc.name == "mean":
-                plan.append((name, "mean",
-                             (f"where(notna({e}), astype({e}, 'float64'), 0.0)",
-                              f"astype(notna({e}), 'float64')")))
+            kind = desc.name
+            if kind == "count" and e in (None, "*"):
+                plan.append((name, "count_star", {"sel": sel}))
+            elif kind == "count":
+                plan.append((name, "count", {"expr": e, "sel": sel}))
+            elif kind == "sum":
+                plan.append((name, "sum",
+                             {"expr": e, "sel": sel,
+                              "dtype": DataType(df.data_type(e))}))
+            elif kind == "mean":
+                plan.append((name, "mean", {"expr": e, "sel": sel}))
+            elif kind in ("min", "max"):
+                dt = DataType(df.data_type(e))
+                if not (dt.is_primitive or dt.is_datetime):
+                    return None
+                plan.append((name, kind, {"expr": e, "sel": sel, "dtype": dt}))
+            elif kind in ("std", "var"):
+                plan.append((name, kind,
+                             {"expr": e, "sel": sel,
+                              "ddof": getattr(desc, "ddof", 0)}))
+            elif kind == "nunique":
+                dt = DataType(df.data_type(e))
+                if not (dt.is_primitive or dt.is_datetime):
+                    return None
+                plan.append((name, "nunique",
+                             {"expr": e, "sel": sel,
+                              "dropnan": getattr(desc, "dropnan", False)
+                              or getattr(desc, "dropna", False),
+                              "dropmissing": getattr(desc, "dropmissing", False)
+                              or getattr(desc, "dropna", False)}))
             else:
                 return None
-        value_exprs = []
-        for _, kind, payload in plan:
-            if kind == "sum":
-                value_exprs.append(payload)
-            elif kind == "sumcast":
-                value_exprs.append(payload[0])
-            elif kind == "mean":
-                value_exprs.extend(payload)
-        value_exprs = list(dict.fromkeys(value_exprs))
-        from .parallel.shuffle import shuffle_groupby
-        with trace("shuffle groupby (all-to-all)"):
-            out = shuffle_groupby(self.df, ordinal, value_exprs, G, mesh)
+        return plan
+
+    def _shuffle_assemble(self, columns_out, g, multi_shape):
         from . import from_dict
         columns = {}
+        counts = columns_out.pop("__count", None)
+        if multi_shape is not None:
+            # cartesian multi-key: drop never-observed combinations using
+            # the count grid (reference groupby.py:488-529)
+            keep = counts > 0
+            index_arrays = np.unravel_index(np.flatnonzero(keep), tuple(multi_shape))
+            for name, gr, idx in zip(self.by_names, self.by, index_arrays):
+                bv = getattr(gr, "bin_values_raw", gr.bin_values)
+                columns[name] = _take_bin_values(
+                    bv if isinstance(bv, np.ma.MaskedArray) else np.asarray(bv), idx)
+            for name, col in columns_out.items():
+                columns[name] = np.asarray(col)[keep.ravel()]
+            df_out = from_dict(columns)
+            if self.sort:
+                df_out = df_out.sort(self.by_names)
+            return df_out
         keep = None
         if getattr(g, "dense", False):
-            keep = out["count"] > 0
+            keep = counts > 0
         if self.combined is not None:
             for name, values in zip(self.by_names, self.combined.bin_values_per_key):
                 columns[name] = np.asarray(values)
@@ -528,20 +829,8 @@ class GroupBy(GroupByBase):
             # pre-sorted bin_values here would be double-permuted and pair
             # keys with the wrong groups' aggregates
             columns[self.by_names[0]] = getattr(g, "bin_values_raw", g.bin_values)
-        for name, kind, payload in plan:
-            if kind == "count_star":
-                col = out["count"].astype(np.int64)
-            elif kind == "sum":
-                col = out[payload].astype(np.int64)
-            elif kind == "sumcast":
-                col = out[payload[0]]
-                if payload[1].numpy.kind in "iu":
-                    col = col.astype(payload[1].upcast().numpy)
-            else:
-                with np.errstate(divide="ignore", invalid="ignore"):
-                    col = out[payload[0]] / out[payload[1]]
-            columns[name] = col
-        if g.sort_indices is not None:
+        columns.update(columns_out)
+        if g is not None and g.sort_indices is not None:
             columns = {k: np.asarray(v)[g.sort_indices] for k, v in columns.items()}
         if keep is not None:
             if g.sort_indices is not None:

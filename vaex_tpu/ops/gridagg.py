@@ -251,12 +251,16 @@ def sort_carry(idx, cols):
     return out[0], jnp.stack(out[1:], axis=1)
 
 
-def sorted_additive(sorted_idx, sorted_cols, G):
+def sorted_additive(sorted_idx, sorted_cols, G, precise=()):
     """sorted_cols [N, A] float64 (rows ordered by bin) -> [G, A] float64.
 
     Segment sums via cumsum differences: for ~1 magnitude values and N=1e7
     the cancellation error is ~eps * N / segment_size ~ 1e-11 relative.
+    Columns in ``precise`` are summed per-segment with scatter-adds instead
+    (error ~ eps * segment sum): variance moments cancel against mean^2 and
+    would turn the std of a constant cell into sqrt(residue).
     """
+    import jax
     N = sorted_idx.shape[0]
     csum = jnp.cumsum(sorted_cols, axis=0)
     bins = jnp.arange(G, dtype=sorted_idx.dtype)
@@ -264,7 +268,14 @@ def sorted_additive(sorted_idx, sorted_cols, G):
     ends = jnp.searchsorted(sorted_idx, bins, side="right")
     upper = csum[jnp.clip(ends - 1, 0, N - 1)]
     lower = jnp.where((starts > 0)[:, None], csum[jnp.clip(starts - 1, 0, N - 1)], 0.0)
-    return jnp.where((ends > starts)[:, None], upper - lower, 0.0)
+    sums = jnp.where((ends > starts)[:, None], upper - lower, 0.0)
+    if precise:
+        seg = jnp.minimum(sorted_idx, G).astype(jnp.int32)
+        pcols = jnp.stack([sorted_cols[:, a] for a in precise], axis=1)
+        psums = jax.ops.segment_sum(pcols, seg, num_segments=G + 1,
+                                    indices_are_sorted=True)[:G]
+        sums = sums.at[:, jnp.asarray(list(precise))].set(psums)
+    return sums
 
 
 def sorted_extreme(sorted_idx, sorted_cols, G, mode):
@@ -381,20 +392,34 @@ def prefix_at(scols, ends, block=1024):
     return block_prefix[b] + within[b, r]                    # [len(ends), A]
 
 
-def dense_rank_additive(key, cols, n_bins):
+def dense_rank_additive(key, cols, n_bins, precise=()):
     """key [N] int (invalid rows = dtype max), cols [N, A] f64 (invalid rows
     = 0) -> ([n_bins, A] segment sums in key-rank order, ends [n_bins]).
 
     Exactness matches the generic sort path: f64 cumsum differences (exact
     for the <= 2^46 integer limb columns; ~eps*N/segment cancellation for
-    floats)."""
+    floats).  Columns listed in ``precise`` are summed per-segment via
+    scatter-add instead (error ~ eps * segment sum, not eps * running
+    total) — variance moments cancel against mean^2 otherwise, turning the
+    std of a constant group into sqrt(residue)."""
     import jax
     N, A = cols.shape
     out = jax.lax.sort((key,) + tuple(cols[:, a] for a in range(A)), num_keys=1)
     ends = segment_ends(out[0], n_bins)
     scols = jnp.stack(out[1:], axis=1)                       # [N, A]
     upper = prefix_at(scols, ends)
-    return jnp.diff(upper, axis=0, prepend=jnp.zeros((1, A), upper.dtype)), ends
+    sums = jnp.diff(upper, axis=0, prepend=jnp.zeros((1, A), upper.dtype))
+    if precise:
+        skey = out[0]
+        seg = jnp.cumsum(jnp.concatenate(
+            [jnp.zeros(1, jnp.int32),
+             (skey[1:] != skey[:-1]).astype(jnp.int32)]))
+        seg = jnp.minimum(seg, n_bins)  # invalid-key tail lands in a trash bin
+        pcols = jnp.stack([scols[:, a] for a in precise], axis=1)
+        psums = jax.ops.segment_sum(pcols, seg, num_segments=n_bins + 1,
+                                    indices_are_sorted=True)[:n_bins]
+        sums = sums.at[:, jnp.asarray(list(precise))].set(psums)
+    return sums, ends
 
 
 def dense_rank_extreme(key, col, n_bins, mode, ends=None):

@@ -134,6 +134,8 @@ class TaskAggregations(Task):
 
     def preferred_tile_rows(self, n_total):
         from .ops.binners import grid_size
+        if any(getattr(op, "whole_tile", False) for op in self.subtasks):
+            return n_total  # exact percentiles need every row in one sort
         if grid_size(self.binners) > self.WHOLE_TILE_MIN_G:
             return n_total
         return None
@@ -185,7 +187,7 @@ class TaskAggregations(Task):
                 nb = binner.count
                 ends = None
                 if additive and use_sort_additive:
-                    col_specs, col_list = [], []
+                    col_specs, col_list, precise = [], [], []
                     for i in additive:
                         op = self.subtasks[i]
                         exact_cols = (op.additive_columns_exact(ctx)
@@ -195,9 +197,12 @@ class TaskAggregations(Task):
                             col_list.extend(exact_cols)
                         else:
                             col_specs.append((i, 1, False))
+                            if getattr(op, "precise_additive", False):
+                                precise.append(len(col_list))
                             col_list.append(op.additive_column(ctx))
                     cols = jnp.stack(col_list, axis=1)
-                    sums, ends = gridagg.dense_rank_additive(key, cols, nb)
+                    sums, ends = gridagg.dense_rank_additive(key, cols, nb,
+                                                             precise=tuple(precise))
                     # +3 edge layout: data bins start at 2, edges stay 0
                     grids = jnp.pad(sums, ((2, 1), (0, 0)))
                     pos = 0
@@ -233,6 +238,12 @@ class TaskAggregations(Task):
         # invalid — finalize detects the nonzero counter and the executor
         # reruns the pass with _no_partition set (sort path).
         PARTITION_MIN_G = 32768
+        # variance moments skip the fixed-point channel kernels (39-bit
+        # block quantization leaves ~1e-9 residue that m2 - mean^2 amplifies
+        # to sqrt(residue) stds for constant cells); they ride the sort
+        # paths' exact per-segment sums instead
+        kernel_additive = [i for i in additive
+                           if not getattr(self.subtasks[i], "precise_additive", False)]
         ext_candidates = [i for i, op in enumerate(self.subtasks)
                           if getattr(op, "extreme_mode", None)
                           and hasattr(op, "partition_extreme_column")
@@ -240,12 +251,12 @@ class TaskAggregations(Task):
         # unlike dense-rank, the partition kernel has no every-bin-observed
         # invariant: it runs fine on a PER-SHARD basis under shard_map (the
         # overflow slot merges by psum)
-        if ((additive or ext_candidates) and pallas_gridagg.is_available()
+        if ((kernel_additive or ext_candidates) and pallas_gridagg.is_available()
                 and not getattr(self, "_no_partition", False)
                 and G > PARTITION_MIN_G):
             from .ops import pallas_partition
             specs = [getattr(self.subtasks[i], "kernel_channels", lambda c: None)(ctx)
-                     for i in additive]
+                     for i in kernel_additive]
             ext_cols = []
             ext_idx = []
             for i in ext_candidates:
@@ -253,7 +264,7 @@ class TaskAggregations(Task):
                 if col is not None:
                     ext_cols.append((col, self.subtasks[i].extreme_mode))
                     ext_idx.append(i)
-            if ((additive or ext_idx)
+            if ((kernel_additive or ext_idx)
                     and all(s is not None for s in specs)
                     and pallas_partition.plan(
                         G, sum(len(s[1]) for s in specs if s[0] == "static"),
@@ -279,7 +290,7 @@ class TaskAggregations(Task):
                         extreme_cols=ext_cols,
                         validity=ctx.row_valid if ext_cols else None)
                 overflow = overflow + ovf
-                for i, (kind, sl) in zip(additive, slots):
+                for i, (kind, sl) in zip(kernel_additive, slots):
                     sums = static_sums[sl] if kind == "static" else float_sums[sl]
                     new_state[i] = self.subtasks[i].apply_kernel(state[i], sums)
                     done[i] = True
@@ -288,13 +299,19 @@ class TaskAggregations(Task):
                         state[i], grid_col)
                     done[i] = True
                 additive = [i for i in additive if not done[i]]
+                kernel_additive = [i for i in kernel_additive if not done[i]]
 
         # channel-limb kernel (pallas_gridagg.fused_additive_channels): ONE
         # bf16 MXU pass with exact integer / 39-bit float accumulation —
         # preferred whenever the flat one-hot fits
-        if additive and pallas_gridagg.is_available() and G <= pallas_gridagg.TWO_LEVEL_MAX_G:
+        if (kernel_additive and pallas_gridagg.is_available()
+                and G <= pallas_gridagg.TWO_LEVEL_MAX_G
+                # moments only detour to the sort path where it exists;
+                # below the fused range they stay on the kernels
+                and (kernel_additive == additive or use_sort_additive)):
+            kadd = kernel_additive if use_sort_additive else additive
             specs = [getattr(self.subtasks[i], "kernel_channels", lambda c: None)(ctx)
-                     for i in additive]
+                     for i in kadd]
             n_ch = sum(len(s[1]) if s and s[0] == "static" else 5 * len(s[1]) if s else 999
                        for s in specs)
             if all(s is not None for s in specs) and n_ch <= 120:
@@ -319,7 +336,7 @@ class TaskAggregations(Task):
                 if fits:
                     static_sums, float_sums = kern(
                         flat_of(), static_channels, float_pairs, G)
-                    for i, (kind, sl) in zip(additive, slots):
+                    for i, (kind, sl) in zip(kadd, slots):
                         sums = (static_sums[sl] if kind == "static"
                                 else float_sums[sl])
                         new_state[i] = self.subtasks[i].apply_kernel(state[i], sums)
@@ -334,7 +351,7 @@ class TaskAggregations(Task):
                 done[i] = True
         elif additive and use_sort_additive:
             # integer sums ride exact limb columns (OpSum.additive_columns_exact)
-            col_specs, col_list = [], []
+            col_specs, col_list, precise = [], [], []
             for i in additive:
                 op = self.subtasks[i]
                 exact_cols = (op.additive_columns_exact(ctx)
@@ -344,10 +361,13 @@ class TaskAggregations(Task):
                     col_list.extend(exact_cols)
                 else:
                     col_specs.append((i, 1, False))
+                    if getattr(op, "precise_additive", False):
+                        precise.append(len(col_list))
                     col_list.append(op.additive_column(ctx))
             cols = jnp.stack(col_list, axis=1)
             sorted_idx, sorted_cols = gridagg.sort_carry(flat_of(), cols)
-            grids = gridagg.sorted_additive(sorted_idx, sorted_cols, G)
+            grids = gridagg.sorted_additive(sorted_idx, sorted_cols, G,
+                                            precise=tuple(precise))
             pos = 0
             for i, ncols, exact in col_specs:
                 if exact:
