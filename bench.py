@@ -90,11 +90,11 @@ def main():
     # reference's core pitch, README.md:9-11); reported alongside — through
     # a TUNNELED chip this measures the tunnel's H2D (~0.6 GB/s), on a
     # host-attached TPU the PCIe/host link
-    streaming_rows_per_s = None
+    streaming = None
     if os.environ.get("VAEX_TPU_BENCH_STREAMING", "1") == "1":
         try:
-            streaming_rows_per_s = _streaming_leg(
-                int(float(os.environ.get("VAEX_TPU_BENCH_STREAM_N", 1e7))), K)
+            streaming = _streaming_leg(
+                int(float(os.environ.get("VAEX_TPU_BENCH_STREAM_N", 3e7))), K)
         except Exception:
             pass
 
@@ -105,27 +105,43 @@ def main():
         "unit": "rows/s",
         "vs_baseline": rows_per_s / baseline,
     }
-    if streaming_rows_per_s is not None:
-        line["streaming_rows_per_s"] = streaming_rows_per_s
+    if streaming is not None:
+        line["streaming_rows_per_s"] = streaming["rows_per_s"]
+        line["streaming_pct_of_link"] = streaming["pct_of_link"]
+        line["link_GBps"] = streaming["link_GBps"]
     print(json.dumps(line))
 
 
 def _streaming_leg(N, K):
+    """Out-of-core rows/s plus the raw link bandwidth it is bounded by.
+
+    Through a tunneled chip the link IS the tunnel (~0.1 GB/s measured);
+    the engine's job is to stay near 100% of whatever the link gives
+    (wire-narrowed i32 keys + transfer-ahead pipeline, execution.py)."""
     import tempfile
     import vaex_tpu as vt
     from vaex_tpu import cache
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)) + "/benchmarks")
+    from streaming import measure_link
     path = os.path.join(tempfile.gettempdir(), f"vt_bench_stream_{N}_{K}.hdf5")
     if not os.path.exists(path):
         rng = np.random.default_rng(7)
         vt.from_arrays(i1=rng.integers(0, K, N).astype(np.int64),
                        x=rng.random(N)).export_hdf5(path)
+    link_gbps = measure_link(1 << 22)
     df = vt.open(path).categorize("i1", labels=list(range(K)))
     df._tile_rows = 1 << 22
     with cache.off():
         df.groupby("i1", agg={"s": vt.agg.sum("x")})  # warm/compile
-        t0 = time.perf_counter()
-        df.groupby("i1", agg={"s": vt.agg.sum("x")})
-        return N / (time.perf_counter() - t0)
+        best = None
+        for _ in range(2):
+            t0 = time.perf_counter()
+            df.groupby("i1", agg={"s": vt.agg.sum("x")})
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+    gbps = N * 12 / best / 1e9  # i32 key (narrowed wire) + f64 value
+    return {"rows_per_s": N / best, "link_GBps": link_gbps,
+            "pct_of_link": 100.0 * gbps / link_gbps}
 
 
 if __name__ == "__main__":

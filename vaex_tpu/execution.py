@@ -325,16 +325,106 @@ class ExecutorLocal(Executor):
                                     outputs_per_task, n_total, T, t_start)
             return
 
+        # wire narrowing: int64/uint64 columns with a PROVEN int32 range
+        # (category metadata or a memoized minmax) ship as i32 over the
+        # host->device link — the streaming bottleneck — and widen back to
+        # their logical dtype on device, so expression semantics are
+        # untouched (16 -> 12 B/row for the canonical key+value stream)
+        wire_narrow = {}
+        if device_tasks and dataset.device_columns(sorted(device_columns)) is None:
+            for name in sorted(device_columns):
+                try:
+                    dt = DataType(df.data_type(name)).numpy
+                except Exception:
+                    continue
+                if dt.kind not in "iu" or dt.itemsize <= 4:
+                    continue
+                lo = hi = None
+                if df.is_category(name):
+                    lo = df.category_offset(name)
+                    hi = lo + df.category_count(name) - 1
+                else:
+                    vb = df._int_value_bound(name, compute=False)
+                    if vb is not None:
+                        lo, hi = vb
+                if lo is not None and -(2 ** 31) <= lo and hi < 2 ** 31:
+                    wire_narrow[name] = dt
+
         step = None
         if device_tasks:
             step = self._get_step(df, device_tasks, tile_inputs, host_expr_by_slot,
                                   set_variables, filter_expr if filter_on_device else None,
                                   host_filter=filter_expr if filter_on_device is False else None,
-                                  tile_rows=T)
+                                  tile_rows=T, wire_narrow=wire_narrow)
+
+        def stage_tile(i1, i2, chunks, host_scope):
+            """Host side of one tile: pad/convert columns (+host filter),
+            narrowing proven-int32 wires (the step widens back on device)."""
+            tile = {}
+            host_filter_tile = None
+            for name in tile_inputs:
+                if name in host_expr_by_slot:
+                    values = host_scope.evaluate_raw(host_expr_by_slot[name])
+                else:
+                    values = chunks[name]
+                if isinstance(values, jnp.ndarray):
+                    # device-resident column (df.to_device()): no host copy
+                    tile[name] = (_pad(values, T), None)
+                    continue
+                data, mask = array_types.data_and_mask(values)
+                if data.dtype.kind in "Mm":
+                    data = data.view(np.int64)
+                if data.dtype == object:
+                    raise TypeError(f"cannot ship object column {name!r} to device; "
+                                    "string expressions must stay host-side")
+                if name in wire_narrow:
+                    data = data.astype(np.int32)
+                tile[name] = (_pad(data, T), _pad(mask, T) if mask is not None else None)
+            if filter_on_device is False and filter_expr is not None:
+                fv = host_scope.evaluate_raw(filter_expr)
+                fdata, fmask = array_types.data_and_mask(fv)
+                fb = fdata.astype(bool)
+                if fmask is not None:
+                    fb &= ~fmask
+                host_filter_tile = _pad(fb, T)
+            return tile, host_filter_tile
 
         cancelled = False
         chunk_stream = dataset.chunk_iterator(all_columns, T)
-        if settings.PREFETCH > 0 and n_total > T:
+        # transfer-ahead pipeline: staging + H2D enqueue of tile k+1 run on a
+        # worker thread while the device computes tile k, keeping the host
+        # link saturated (the streaming bottleneck, VERDICT r3 #1; the
+        # reference's separate IO pool, multithreading.py:34-38)
+        transfer_ahead = (device_tasks and not host_tasks
+                          and (self.mesh is None or self.mesh.size <= 1)
+                          and settings.TRANSFER_AHEAD > 0 and n_total > T)
+        if transfer_ahead:
+            def _device_stream():
+                for i1, i2, chunks in chunk_stream:
+                    host_scope = (HostScope(df, i1, i2,
+                                            {k: chunks[k] for k in host_columns})
+                                  if need_host_scope else None)
+                    tile, hf = stage_tile(i1, i2, chunks, host_scope)
+                    dtile = {k: (jax.device_put(d),
+                                 jax.device_put(m) if m is not None else None)
+                             for k, (d, m) in tile.items()}
+                    hfd = jax.device_put(hf) if hf is not None else None
+                    yield i1, i2, dtile, hfd
+
+            for i1, i2, dtile, hfd in _prefetched(_device_stream(),
+                                                  settings.TRANSFER_AHEAD):
+                n = i2 - i1
+                states, outputs = step(states, dtile, np.int32(n), np.int32(i1),
+                                       aux, hfd)
+                for idx, out in enumerate(outputs):
+                    if out is not None:
+                        outputs_per_task[idx].append((out, n))
+                progress = i2 / max(n_total, 1)
+                if any(r is False for r in self.signal_progress.emit(progress)):
+                    cancelled = True
+                    break
+            chunk_stream = ()  # consumed by the pipeline
+        if settings.PREFETCH > 0 and n_total > T and not transfer_ahead:
             # readahead thread: disk/decompression of chunk k+1 overlaps the
             # host stage + device compute of chunk k (the reference's separate
             # IO pool, multithreading.py:34-38; tiles here are pulled eagerly)
@@ -357,31 +447,7 @@ class ExecutorLocal(Executor):
                                  row_valid=row_valid_host if task.pre_filter else None)
 
             if device_tasks:
-                tile = {}
-                host_filter_tile = None
-                for name in tile_inputs:
-                    if name in host_expr_by_slot:
-                        values = host_scope.evaluate_raw(host_expr_by_slot[name])
-                    else:
-                        values = chunks[name]
-                    if isinstance(values, jnp.ndarray):
-                        # device-resident column (df.to_device()): no host copy
-                        tile[name] = (_pad(values, T), None)
-                        continue
-                    data, mask = array_types.data_and_mask(values)
-                    if data.dtype.kind in "Mm":
-                        data = data.view(np.int64)
-                    if data.dtype == object:
-                        raise TypeError(f"cannot ship object column {name!r} to device; "
-                                        "string expressions must stay host-side")
-                    tile[name] = (_pad(data, T), _pad(mask, T) if mask is not None else None)
-                if filter_on_device is False and filter_expr is not None:
-                    fv = host_scope.evaluate_raw(filter_expr)
-                    fdata, fmask = array_types.data_and_mask(fv)
-                    fb = fdata.astype(bool)
-                    if fmask is not None:
-                        fb &= ~fmask
-                    host_filter_tile = _pad(fb, T)
+                tile, host_filter_tile = stage_tile(i1, i2, chunks, host_scope)
                 states, outputs = step(states, tile, np.int32(n), np.int32(i1), aux,
                                        host_filter_tile)
                 for idx, out in enumerate(outputs):
@@ -466,9 +532,11 @@ class ExecutorLocal(Executor):
         )
 
     def _get_step(self, df, device_tasks, tile_inputs, host_expr_by_slot,
-                  set_variables, device_filter_expr, host_filter, tile_rows):
+                  set_variables, device_filter_expr, host_filter, tile_rows,
+                  wire_narrow=None):
         key = self._step_key(df, device_tasks, tile_inputs, host_expr_by_slot,
-                             set_variables, device_filter_expr, host_filter, tile_rows)
+                             set_variables, device_filter_expr, host_filter, tile_rows,
+                             extra=tuple(sorted((wire_narrow or {}).items())) or None)
         if key in self._step_cache:
             return self._step_cache[key]
 
@@ -480,7 +548,8 @@ class ExecutorLocal(Executor):
 
         step = _make_step_fn(df, device_tasks, tile_inputs, host_expr_by_slot,
                              set_meta, device_filter_expr, tile_rows,
-                             mesh=mesh if spmd else None, axis_name=axis_name)
+                             mesh=mesh if spmd else None, axis_name=axis_name,
+                             wire_narrow=wire_narrow)
 
         if spmd:
             from jax.sharding import PartitionSpec as P
@@ -619,10 +688,12 @@ def _pass_compiler_options():
 
 
 def _make_step_fn(df, device_tasks, tile_inputs, host_expr_by_slot, set_meta,
-                  device_filter_expr, tile_rows, mesh=None, axis_name=None):
+                  device_filter_expr, tile_rows, mesh=None, axis_name=None,
+                  wire_narrow=None):
     """The traced per-tile step shared by the per-tile and whole-pass paths."""
     from .tasks import TaskAggregations
     spmd = mesh is not None
+    widen = {k: np.dtype(v) for k, v in (wire_narrow or {}).items()}
 
     def step(states, tile, n_valid, i1, aux, host_filter_tile):
         T = tile[tile_inputs[0]][0].shape[0] if tile_inputs else (
@@ -632,6 +703,8 @@ def _make_step_fn(df, device_tasks, tile_inputs, host_expr_by_slot, set_meta,
             local_offset = jax.lax.axis_index(axis_name).astype(jnp.int32) * T
         na_tile = {}
         for name, (data, mask) in tile.items():
+            if name in widen:  # narrowed wire: restore the logical dtype
+                data = data.astype(widen[name])
             na_tile[name] = NA(data, mask)
             if name in host_expr_by_slot:
                 na_tile[host_expr_by_slot[name]] = na_tile[name]

@@ -44,6 +44,8 @@ CACHE_MEMORY_SIZE_LIMIT = _int_env("VAEX_TPU_CACHE_MEMORY_SIZE_LIMIT", 1 << 30)
 X64 = os.environ.get("VAEX_TPU_X64", "1") == "1"
 NUM_THREADS_IO = _int_env("VAEX_TPU_NUM_THREADS_IO", 8)
 PREFETCH = _int_env("VAEX_TPU_PREFETCH", 2)
+# staged tiles device_put ahead of compute by a worker thread (0 disables)
+TRANSFER_AHEAD = _int_env("VAEX_TPU_TRANSFER_AHEAD", 2)
 
 _main = {}
 
