@@ -154,3 +154,52 @@ def test_sklearn_incremental(df_ml):
     p.fit(df_ml)
     out = p.transform(df_ml)
     assert out.count("prediction") == 10
+
+
+def test_boosting_wrappers_state_roundtrip():
+    """Boosted-tree wrappers (reference vaex-ml lightgbm/xgboost/catboost):
+    import-gated; unfitted state round-trips without the libraries."""
+    from vaex_tpu.ml.boosting import (CatBoostModel, KerasModel,
+                                      LightGBMModel, XGBoostModel)
+    for cls in (LightGBMModel, XGBoostModel, CatBoostModel):
+        m = cls(features=["a", "b"], target="y", params={"objective": "mse"},
+                num_boost_round=7, prediction_name="p")
+        state = m.state_get()
+        m2 = cls()
+        m2.state_set(state)
+        assert m2.features == ["a", "b"] and m2.target == "y"
+        assert m2.num_boost_round == 7 and m2.prediction_name == "p"
+        assert m2.model is None
+    km = KerasModel(features=["a"], target="y")
+    assert km.state_get()["model"] is None
+
+
+def test_boosting_wrapper_stub_predict_column():
+    """transform() attaches the prediction as a virtual column through a
+    registered function — df-state pipeline contract — exercised with a
+    stub booster (no third-party library needed)."""
+    from vaex_tpu.ml.boosting import LightGBMModel
+
+    class StubBooster:
+        def predict(self, X):
+            return X[:, 0] * 2 + X[:, 1]
+
+    df = vt.from_arrays(a=np.arange(5.0), b=np.ones(5))
+    m = LightGBMModel(features=["a", "b"], target="b")
+    m.model = StubBooster()
+    out = m.transform(df)
+    npt.assert_allclose(np.asarray(out["prediction"].tolist()),
+                        np.arange(5.0) * 2 + 1)
+
+
+def test_boosting_requires_library():
+    from vaex_tpu.ml.boosting import LightGBMModel
+    m = LightGBMModel(features=["a"], target="y")
+    df = vt.from_arrays(a=np.arange(4.0), y=np.arange(4.0))
+    try:
+        import lightgbm  # noqa: F401
+        m.fit(df)  # real library present: should just work
+        assert m.model is not None
+    except ImportError:
+        with pytest.raises(ImportError):
+            m.fit(df)

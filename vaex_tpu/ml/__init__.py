@@ -28,6 +28,13 @@ from .transformations import (  # noqa: F401
 
 from . import sklearn  # noqa: F401
 from .sklearn import IncrementalPredictor, Predictor  # noqa: F401
+from . import boosting  # noqa: F401
+from .boosting import (  # noqa: F401
+    CatBoostModel,
+    KerasModel,
+    LightGBMModel,
+    XGBoostModel,
+)
 
 from ..dataframe import register_dataframe_accessor
 
