@@ -301,3 +301,26 @@ def test_graphql_schema_sdl():
     assert "x: CompareFloat" in sdl and "n: CompareInt" in sdl
     assert "s: CompareString" in sdl
     assert "type GroupByLevel" in sdl
+
+
+def test_graphene_schema_when_available():
+    """graphql.py schema(): real graphene interop (skips without graphene;
+    the SDL + dict/string executors cover the semantics regardless)."""
+    pytest.importorskip("graphene")
+    df = vt.from_arrays(x=np.arange(10.0), n=np.arange(10))
+    schema = df.graphql.schema()
+    result = schema.execute("{ df(where: {x: {_gt: 4}}) { count min { x } } }")
+    assert not result.errors
+    assert result.data["df"]["count"] == 5
+    assert result.data["df"]["min"]["x"] == 5.0
+
+
+def test_graphene_schema_import_error_message():
+    try:
+        import graphene  # noqa: F401
+        pytest.skip("graphene installed")
+    except ImportError:
+        pass
+    df = vt.from_arrays(x=np.arange(3.0))
+    with pytest.raises(ImportError, match="schema_sdl"):
+        df.graphql.schema()

