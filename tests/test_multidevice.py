@@ -351,3 +351,43 @@ def test_shuffle_multikey_cartesian(monkeypatch):
                                err_msg=c)
     npt.assert_allclose(np.asarray(routed["s"].tolist()), np.asarray(single["s"].tolist()),
                         rtol=1e-9, atol=1e-12)
+
+
+def test_shuffle_weak_scaling_accounting(monkeypatch):
+    """BASELINE '>=8x rows/s scaling 1->8 hosts': at FIXED rows/device, the
+    per-device all-to-all bytes and per-device sorted rows stay constant as
+    the mesh grows 2->4->8 — the weak-scaling argument the virtual mesh can
+    carry (real multi-chip is unavailable here); results stay oracle-exact
+    at every D."""
+    import jax
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    import pandas as pd
+    import vaex_tpu.groupby as gb
+    from vaex_tpu.parallel import distributed_executor
+    monkeypatch.setattr(gb, "SHUFFLE_MIN_G", 10)
+    rows_per_device = 20_000
+    stats = {}
+    for D in (2, 4, 8):
+        n = rows_per_device * D
+        rng = np.random.default_rng(D)
+        k = rng.integers(0, 5_000, n).astype("i8") * 2
+        x = rng.random(n)
+        df = vt.from_arrays(k=k, x=x)
+        df.executor = distributed_executor(D)
+        out = df.groupby("k", agg={"s": vt.agg.sum("x"), "c": "count"}, sort=True)
+        oracle = pd.DataFrame({"k": k, "x": x}).groupby("k").agg(
+            s=("x", "sum"), c=("x", "size"))
+        npt.assert_allclose(np.asarray(out["s"].tolist()), oracle["s"].to_numpy(),
+                            rtol=1e-9)
+        npt.assert_array_equal(np.asarray(out["c"].tolist()), oracle["c"].to_numpy())
+        entry = [e for e in df.executor.trace_log if e.get("shuffle")][-1]
+        assert entry["devices"] == D
+        stats[D] = entry
+    base = stats[2]
+    for D in (4, 8):
+        e = stats[D]
+        assert e["rows_per_device"] == base["rows_per_device"]
+        # per-device exchange volume flat in D (within the ceil-div wobble)
+        ratio = e["alltoall_bytes_per_device"] / base["alltoall_bytes_per_device"]
+        assert 0.9 <= ratio <= 1.1, (D, e, base)

@@ -1589,7 +1589,10 @@ class DataFrame:
                     labels = labels + [None]
                 codes_name = f"__{name}_codes"
                 columns[codes_name] = jnp.asarray(codes)
-                columns[name] = col  # original strings stay host-side
+                # the DICTIONARY array becomes the host column: str_* kernels
+                # detect it and run per-VALUE at O(U) instead of O(N)
+                # (functions._dict_aware), while reads decode transparently
+                columns[name] = encoded
                 df_meta._categories[name] = {"labels": labels, "N": len(labels),
                                              "min_value": 0, "codes_column": codes_name}
                 if codes_name not in df_meta.column_names:

@@ -381,10 +381,29 @@ def _to_pa(x):
     return array_types.to_arrow(x)
 
 
-def _str_simple(pc_name):
+def _dict_aware(fn):
+    """Run a per-value arrow kernel at O(dictionary) for dictionary-encoded
+    inputs (to_device string columns): transform the U dictionary values
+    once, recompose by indices — string results stay dictionary-encoded
+    (lazy), scalar results gather (reference: O(N) per-row kernels always,
+    strings.cpp:727-795; VERDICT r2 #6 dictionary-valued ops O(U))."""
     def impl(x, *args, **kwargs):
-        return getattr(pc, pc_name)(_to_pa(x), *args, **kwargs)
+        a = _to_pa(x)
+        if isinstance(a, pa.ChunkedArray):
+            a = a.combine_chunks()
+        if isinstance(a, pa.Array) and pa.types.is_dictionary(a.type):
+            vals = fn(a.dictionary, *args, **kwargs)
+            if pa.types.is_string(vals.type) or pa.types.is_large_string(vals.type):
+                return pa.DictionaryArray.from_arrays(a.indices, vals)
+            return vals.take(a.indices)
+        return fn(a, *args, **kwargs)
     return impl
+
+
+def _str_simple(pc_name):
+    def kernel(a, *args, **kwargs):
+        return getattr(pc, pc_name)(a, *args, **kwargs)
+    return _dict_aware(kernel)
 
 
 _STR_SIMPLE = {
@@ -409,18 +428,18 @@ for _name, _pc_name in _STR_SIMPLE.items():
     register_function(scope="str", name=_name, host=_str_simple(_pc_name))(None)
 
 
-def _str_strip(x, to_strip=None):
-    a = _to_pa(x)
+@_dict_aware
+def _str_strip(a, to_strip=None):
     return pc.utf8_trim_whitespace(a) if to_strip is None else pc.utf8_trim(a, characters=to_strip)
 
 
-def _str_lstrip(x, to_strip=None):
-    a = _to_pa(x)
+@_dict_aware
+def _str_lstrip(a, to_strip=None):
     return pc.utf8_ltrim_whitespace(a) if to_strip is None else pc.utf8_ltrim(a, characters=to_strip)
 
 
-def _str_rstrip(x, to_strip=None):
-    a = _to_pa(x)
+@_dict_aware
+def _str_rstrip(a, to_strip=None):
     return pc.utf8_rtrim_whitespace(a) if to_strip is None else pc.utf8_rtrim(a, characters=to_strip)
 
 
@@ -429,28 +448,32 @@ register_function(scope="str", name="lstrip", host=_str_lstrip)(None)
 register_function(scope="str", name="rstrip", host=_str_rstrip)(None)
 
 
-def _str_contains(x, pattern, regex=True):
-    a = _to_pa(x)
+@_dict_aware
+def _str_contains(a, pattern, regex=True):
     if regex:
         return pc.match_substring_regex(a, pattern)
     return pc.match_substring(a, pattern)
 
 
 register_function(scope="str", name="contains", host=_str_contains)(None)
-register_function(scope="str", name="startswith", host=lambda x, pat: pc.starts_with(_to_pa(x), pattern=pat))(None)
-register_function(scope="str", name="endswith", host=lambda x, pat: pc.ends_with(_to_pa(x), pattern=pat))(None)
-register_function(scope="str", name="match", host=lambda x, pat: pc.match_like(_to_pa(x), pat) if "%" in str(pat)
-                  else pc.match_substring_regex(_to_pa(x), "^(" + str(pat) + ")$"))(None)
+register_function(scope="str", name="startswith",
+                  host=_dict_aware(lambda a, pat: pc.starts_with(a, pattern=pat)))(None)
+register_function(scope="str", name="endswith",
+                  host=_dict_aware(lambda a, pat: pc.ends_with(a, pattern=pat)))(None)
+register_function(scope="str", name="match",
+                  host=_dict_aware(lambda a, pat: pc.match_like(a, pat) if "%" in str(pat)
+                                   else pc.match_substring_regex(a, "^(" + str(pat) + ")$")))(None)
 register_function(scope="str", name="equals",
-                  host=lambda x, y: pc.equal(_to_pa(x), _to_pa(y) if not isinstance(y, str) else y))(None)
+                  host=lambda x, y: pc.equal(_decoded(x), _decoded(y) if not isinstance(y, str) else y))(None)
 register_function(scope="str", name="count",
-                  host=lambda x, pat, regex=True: (pc.count_substring_regex if regex else pc.count_substring)(_to_pa(x), pat))(None)
+                  host=_dict_aware(lambda a, pat, regex=True:
+                                   (pc.count_substring_regex if regex else pc.count_substring)(a, pat)))(None)
 register_function(scope="str", name="find",
-                  host=lambda x, sub: pc.find_substring(_to_pa(x), sub))(None)
+                  host=_dict_aware(lambda a, sub: pc.find_substring(a, sub)))(None)
 
 
-def _str_replace(x, pat, repl, n=-1, regex=False):
-    a = _to_pa(x)
+@_dict_aware
+def _str_replace(a, pat, repl, n=-1, regex=False):
     kwargs = {} if n == -1 else {"max_replacements": n}
     if regex:
         return pc.replace_substring_regex(a, pat, repl, **kwargs)
@@ -460,15 +483,16 @@ def _str_replace(x, pat, repl, n=-1, regex=False):
 register_function(scope="str", name="replace", host=_str_replace)(None)
 
 
-def _str_slice(x, start=0, stop=None):
-    return pc.utf8_slice_codeunits(_to_pa(x), start=start, stop=stop if stop is not None else 2**31 - 1)
+@_dict_aware
+def _str_slice(a, start=0, stop=None):
+    return pc.utf8_slice_codeunits(a, start=start, stop=stop if stop is not None else 2**31 - 1)
 
 
 register_function(scope="str", name="slice", host=_str_slice)(None)
 
 
-def _str_pad(x, width, side="left", fillchar=" "):
-    a = _to_pa(x)
+@_dict_aware
+def _str_pad(a, width, side="left", fillchar=" "):
     if side == "left":
         return pc.utf8_lpad(a, width=width, padding=fillchar)
     if side == "right":
@@ -477,22 +501,36 @@ def _str_pad(x, width, side="left", fillchar=" "):
 
 
 register_function(scope="str", name="pad", host=_str_pad)(None)
-register_function(scope="str", name="ljust", host=lambda x, width, fillchar=" ": pc.utf8_rpad(_to_pa(x), width=width, padding=fillchar))(None)
-register_function(scope="str", name="rjust", host=lambda x, width, fillchar=" ": pc.utf8_lpad(_to_pa(x), width=width, padding=fillchar))(None)
-register_function(scope="str", name="zfill", host=lambda x, width: pc.utf8_lpad(_to_pa(x), width=width, padding="0"))(None)
-register_function(scope="str", name="repeat", host=lambda x, repeats: pc.binary_repeat(_to_pa(x), repeats))(None)
+register_function(scope="str", name="ljust",
+                  host=_dict_aware(lambda a, width, fillchar=" ": pc.utf8_rpad(a, width=width, padding=fillchar)))(None)
+register_function(scope="str", name="rjust",
+                  host=_dict_aware(lambda a, width, fillchar=" ": pc.utf8_lpad(a, width=width, padding=fillchar)))(None)
+register_function(scope="str", name="zfill",
+                  host=_dict_aware(lambda a, width: pc.utf8_lpad(a, width=width, padding="0")))(None)
+register_function(scope="str", name="repeat",
+                  host=_dict_aware(lambda a, repeats: pc.binary_repeat(a, repeats)))(None)
+
+
+def _decoded(x):
+    a = _to_pa(x)
+    if isinstance(a, pa.ChunkedArray):
+        a = a.combine_chunks()
+    if isinstance(a, pa.Array) and pa.types.is_dictionary(a.type):
+        return a.dictionary_decode()
+    return a
 
 
 def _str_cat(x, other):
-    return pc.binary_join_element_wise(_to_pa(x), _to_pa(other) if not isinstance(other, str) else other, "")
+    return pc.binary_join_element_wise(
+        _decoded(x), _decoded(other) if not isinstance(other, str) else other, "")
 
 
 register_function(scope="str", name="cat", host=_str_cat)(None)
 
 
-def _str_split(x, pattern=" ", max_splits=None, regex=False):
+@_dict_aware
+def _str_split(a, pattern=" ", max_splits=None, regex=False):
     """split -> arrow list array (reference strings.cpp split / StringListList)."""
-    a = _to_pa(x)
     kwargs = {} if max_splits is None else {"max_splits": max_splits}
     if regex:
         return pc.split_pattern_regex(a, pattern, **kwargs)

@@ -687,6 +687,21 @@ def _run_shuffle_plan(df, ordinal_expression, plan, G, mesh, slack=4, max_retrie
             U = [np.asarray(u) for u in nus]
             out = {name: fin(S, E, U) for name, fin in finishers}
             out["__count"] = S[:, 0].astype(np.int64)
+            # weak-scaling accounting (BASELINE: >=8x rows/s 1->8 hosts):
+            # per-device all-to-all bytes are D*cap*row_bytes with
+            # cap = slack*n_local/D, i.e. CONSTANT in D at fixed
+            # rows/device — the scaling argument the dryrun carries
+            n_local = -(-(N + pad) // D)
+            cap = max(64, (slack * n_local) // D)
+            row_bytes = (4 + 8 * add_stack.shape[1]
+                         + sum(int(np.dtype(v.dtype).itemsize) for v, _ in ext_j)
+                         + 12 * len(nu_j))
+            df.executor.trace_log.append({
+                "shuffle": True, "G": int(G), "devices": int(D),
+                "rows": int(N), "rows_per_device": int(n_local),
+                "slack": slack,
+                "alltoall_bytes_per_device": int(D * cap * row_bytes),
+            })
             return out
         slack *= 2  # skew: double per-bucket capacity and re-shuffle
     raise RuntimeError(f"shuffle overflow after {max_retries} slack doublings: "
