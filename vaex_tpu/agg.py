@@ -1002,7 +1002,13 @@ class AggregatorDescriptorMean(AggregatorDescriptor):
         @delayed
         def finish(s, c):
             with np.errstate(divide="ignore", invalid="ignore"):
-                return s / c
+                # empty cells are NaN, never residue/0 = +-inf: the sort
+                # path's cumsum-difference sum of an empty segment can be a
+                # tiny nonzero residue (pandas: mean of no values is NaN)
+                if isinstance(c, np.ndarray) or np.isscalar(c):
+                    return np.where(np.asarray(c) > 0, s / c, np.nan)
+                import jax.numpy as jnp  # device-resident grids stay in HBM
+                return jnp.where(c > 0, s / c, jnp.nan)
         return [finish(sum_task, count_task)]
 
 

@@ -1642,6 +1642,15 @@ class DataFrame:
     # ------------------------------------------------------------- groupby
     def groupby(self, by=None, agg=None, sort=False, ascending=True, assume_sparse="auto",
                 row_limit=None, copy=True, progress=None, delay=False):
+        if agg is not None:
+            # one-shot groupby(by, agg=...): the fused one-sort plan replaces
+            # set-build + probe + aggregation sort when the shape qualifies
+            from .fused_groupby import try_fused_sort_groupby
+            routed = try_fused_sort_groupby(self, by, agg, sort=sort,
+                                            ascending=ascending,
+                                            row_limit=row_limit, delay=delay)
+            if routed is not None:
+                return routed
         from .groupby import GroupBy
         gb = GroupBy(self, by=by, sort=sort, ascending=ascending, combine=assume_sparse,
                      row_limit=row_limit, copy=copy)

@@ -1,0 +1,391 @@
+"""Fused ONE-sort groupby for integer keys (the q10-class fast path).
+
+``df.groupby(by, agg=...)`` normally runs two device sorts over the key
+data: the grouper's set build (pass 1: sort + boundary compaction, the TPU
+replacement of the reference's ordered_set, hash_primitives.hpp:418-621)
+and the dense-rank aggregation sort (pass 3).  When the agg spec is known
+up front, ONE carried sort can do everything: the sorted key's segment
+boundaries yield the observed keys (the set), the segment lengths yield
+counts, carried channels yield sums/moments, and an associative scan
+yields min/max — no set build, no ordinal probe, no second sort.
+
+Scope (bails to the classic path otherwise): integer key columns with a
+memoized minmax and no nulls (the `_dense_candidates` pre-pass proves
+both), aggs in {count, sum, mean, min, max, std, var}, no selections, no
+filter, no mesh, whole table in one sort (<= DENSE_RANK_MAX_ROWS).
+Multi-key groupbys pack the keys by their RANGE spans into one int64
+(bails when the span product overflows), and the observed fused keys
+decode back by div/mod — only observed combinations appear, matching the
+reference's empty-cell drops (groupby.py:488-529).
+
+Exactness: integer sums ride 22-bit limb channels (exact mod 2^64, like
+OpSum.additive_columns_exact); float sums are f64 cumsum differences
+(same contract as the dense-rank path); variance moments ride exact
+per-segment scatter sums; min/max are exact.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+
+from .datatype import DataType
+from .utils import trace
+
+LIMB_BITS = 22
+_FUSED_CACHE = {}
+
+
+def _agg_plan(df, parsed):
+    """(channel specs, finishers) or None when a descriptor can't ride.
+
+    Channel kinds: 'ones' (free: counts come from segment lengths),
+    'valid' (f64 0/1), 'sumf' (f64), 'sumi' (3 limb channels),
+    'moment' (precise f64 x, x^2), 'min'/'max' (carried extreme).
+    """
+    plan = []
+    for name, desc in parsed:
+        if desc.selection is not None:
+            return None
+        e = desc.expression
+        kind = desc.name
+        if kind == "count" and e in (None, "*"):
+            plan.append((name, "count_star", None))
+            continue
+        if kind not in ("count", "sum", "mean", "min", "max", "std", "var"):
+            return None
+        try:
+            dt = DataType(df.data_type(e))
+        except Exception:
+            return None
+        if not dt.is_primitive or str(e) not in df.dataset:
+            return None
+        if kind in ("min", "max") and dt.numpy.kind not in "iuf" and dt.numpy.kind != "b":
+            return None
+        plan.append((name, kind, (str(e), dt)))
+    return plan
+
+
+def try_fused_sort_groupby(df, by, actions, sort=False, ascending=True,
+                           row_limit=None, delay=False):
+    """The one-sort plan, or None when the query shape doesn't qualify."""
+    import os
+    if os.environ.get("VAEX_TPU_FUSED_GROUPBY", "1") != "1":
+        return None
+    if row_limit is not None or df.filtered:
+        return None
+    mesh = getattr(df.executor, "mesh", None)
+    if mesh is not None and mesh.size > 1:
+        return None
+    by = by if isinstance(by, (list, tuple)) else [by]
+    if not by:
+        return None
+    key_names = []
+    for b in by:
+        from .expression import Expression
+        name = b.expression if isinstance(b, Expression) else b
+        if not isinstance(name, str) or name not in df.dataset or df.is_category(name):
+            return None
+        key_names.append(name)
+    ascending_list = (ascending if isinstance(ascending, (list, tuple))
+                      else [ascending] * len(key_names))
+    if any(a is not True for a in ascending_list) and len(key_names) > 1:
+        return None  # per-key descending on packed keys: classic path
+    n = len(df)
+    from .groupby import DENSE_RANGE_MAX, GroupByBase, _dense_candidates
+    from .tasks import TaskAggregations
+    if n > TaskAggregations.DENSE_RANK_MAX_ROWS or n == 0:
+        return None
+    with trace("fused-groupby candidates pre-pass"):
+        info = _dense_candidates(key_names, df, row_limit)
+    if any(k not in info for k in key_names):
+        return None  # non-integer / nullable keys: classic path
+    spans = []
+    for k in key_names:
+        lo, hi, n_valid = info[k]
+        if n_valid != n:
+            return None  # nulls present
+        spans.append((lo, hi - lo + 1))
+    if len(key_names) > 1:
+        product = 1.0
+        for _, span in spans:
+            product *= span
+        if product >= 2 ** 62:
+            return None
+    for _, span in spans:
+        if not (0 < span < 2 ** 62):
+            return None  # range does not fit int64 arithmetic
+    # only engage where the CLASSIC path needs a set build (its extra sort):
+    # single dense-range keys ride the partition kernels with no set build
+    # (q3-class: 253 ms there vs ~1 s here), and small cartesian products
+    # grid directly; the win cases are sparse single keys and multi-key
+    # combines (q2/q9/q10-class: set-build sort + dense-rank sort -> ONE sort)
+    if len(key_names) == 1:
+        if spans[0][1] <= DENSE_RANGE_MAX:
+            return None
+    else:
+        product = 1
+        for _, span in spans:
+            product *= span
+        if product <= 1_000_000:  # classic _should_combine threshold
+            return None
+    parsed = GroupByBase._parse_actions(_ParseShim(df, key_names), actions)
+    plan = _agg_plan(df, parsed)
+    if plan is None:
+        return None
+    asc = ascending_list[0] if len(key_names) == 1 else True
+    from . import cache
+    from .utils import fingerprint
+    cache_key = fingerprint(
+        "fused-groupby", df.fingerprint(), tuple(key_names), tuple(spans), asc,
+        tuple((name, kind, payload if payload is None else payload[0])
+              for name, kind, payload in plan))
+    hit = cache.lookup(cache_key)
+    if hit is not None:
+        from . import from_dict
+        result = from_dict(dict(hit))
+    else:
+        with trace("fused one-sort groupby"):
+            result = _run(df, key_names, spans, plan, asc)
+        if result is None:
+            return None
+        cols = {name: result.dataset[name][:]
+                for name in result.get_column_names()}
+        if sum(getattr(c, "nbytes", 64) for c in cols.values()) <= (32 << 20):
+            # small results cache as host numpy; big ones are not worth the
+            # D2H (and would pin HBM in the default unbounded backend)
+            cache.store(cache_key, {k: np.asarray(v) for k, v in cols.items()})
+    from .groupby import GroupBy
+    return GroupBy._maybe_delay(result, delay)
+
+
+class _ParseShim:
+    """Just enough of GroupByBase for the unbound _parse_actions call."""
+
+    def __init__(self, df, key_names):
+        self.df = df
+        self.groupby_expression = list(key_names)
+
+
+def _column_device(df, name):
+    """jnp array (+mask flag) for a physical column; None on masked data."""
+    import jax.numpy as jnp
+    from . import array_types
+    dev = df.dataset_for_execution().device_columns([name])
+    if dev is not None:
+        return dev[name]
+    values = df.dataset[name][:]
+    data, mask = array_types.data_and_mask(values)
+    if mask is not None and mask.any():
+        return None
+    if data.dtype.kind in "Mm":
+        data = data.view(np.int64)
+    if data.dtype == object:
+        return None
+    return jnp.asarray(data)
+
+
+def _run(df, key_names, spans, plan, ascending):
+    import jax
+    import jax.numpy as jnp
+
+    # fused int64 key from range spans (no per-key set builds)
+    keys = []
+    for name in key_names:
+        col = _column_device(df, name)
+        if col is None:
+            return None
+        keys.append(col.astype(jnp.int64))
+    mult = 1
+    fused = None
+    mults = []
+    for (lo, span), col in zip(reversed(spans), reversed(keys)):
+        part = (col - lo) * mult
+        fused = part if fused is None else fused + part
+        mults.append((mult, span, lo))
+        mult *= span
+    mults = list(reversed(mults))  # per key, leading first
+
+    # channels
+    add_cols = []       # f64 columns summed by cumsum-diff
+    precise_cols = []   # f64 columns summed by exact per-segment scatter
+    ext_cols = []       # (col f64, mode)
+    builders = []       # (out_name, fn(env) -> column) applied after compute
+
+    def valid_of(col):
+        if col.dtype.kind == "f":
+            return ~jnp.isnan(col)
+        return None
+
+    def add(col, precise=False):
+        (precise_cols if precise else add_cols).append(col)
+        return (precise, len(precise_cols) - 1 if precise else len(add_cols) - 1)
+
+    def add_sum(col, dt):
+        """Channel(s) for an exact sum; returns finisher(env)->grid."""
+        import jax
+        if dt.numpy.kind in "iub":
+            u = jax.lax.bitcast_convert_type(col.astype(jnp.int64), jnp.uint64)
+            mask = jnp.uint64((1 << LIMB_BITS) - 1)
+            slots = [add(((u >> jnp.uint64(LIMB_BITS * k)) & mask).astype(jnp.float64))
+                     for k in range(3)]
+            out_dt = dt.upcast().numpy
+
+            def fin(env, slots=slots, out_dt=out_dt):
+                u = env(slots[0]).astype(jnp.uint64)
+                for k in (1, 2):
+                    u = u + (env(slots[k]).astype(jnp.uint64) << jnp.uint64(LIMB_BITS * k))
+                if np.dtype(out_dt) == np.uint64:
+                    return u
+                return jax.lax.bitcast_convert_type(u, jnp.int64).astype(out_dt)
+            return fin
+        v = valid_of(col)
+        c = col.astype(jnp.float64)
+        if v is not None:
+            c = jnp.where(v, c, 0.0)
+        slot = add(c)
+        return lambda env, slot=slot: env(slot)
+
+    for name, kind, payload in plan:
+        if kind == "count_star":
+            builders.append((name, lambda env: env("counts")))
+            continue
+        expr, dt = payload
+        col = _column_device(df, expr)
+        if col is None:
+            return None
+        v = valid_of(col)
+        if kind == "count":
+            if v is None:
+                builders.append((name, lambda env: env("counts")))
+            else:
+                slot = add(v.astype(jnp.float64))
+                builders.append((name, lambda env, slot=slot: env(slot).astype(jnp.int64)))
+        elif kind == "sum":
+            builders.append((name, add_sum(col, dt)))
+        elif kind == "mean":
+            c = col.astype(jnp.float64)
+            c = jnp.where(v, c, 0.0) if v is not None else c
+            s = add(c)
+            cnt = add(v.astype(jnp.float64)) if v is not None else "counts"
+
+            def fin_mean(env, s=s, cnt=cnt):
+                d = env(cnt).astype(jnp.float64)
+                return jnp.where(d > 0, env(s) / d, jnp.nan)
+            builders.append((name, fin_mean))
+        elif kind in ("min", "max"):
+            from .ops import gridagg
+            c = col.astype(jnp.float64) if dt.numpy.kind == "f" else col
+            fill = gridagg.min_identity(c.dtype) if kind == "min" else gridagg.max_identity(c.dtype)
+            if v is not None:
+                c = jnp.where(v, c, jnp.asarray(fill, c.dtype))
+            ext_cols.append((c, kind))
+            e = len(ext_cols) - 1
+            out_dt = dt.numpy if dt.numpy.kind != "f" else None
+
+            def fin_ext(env, e=e, out_dt=out_dt):
+                g = env(("ext", e))
+                return g if out_dt is None else g.astype(out_dt)
+            builders.append((name, fin_ext))
+        elif kind in ("std", "var"):
+            c = col.astype(jnp.float64)
+            c = jnp.where(v, c, 0.0) if v is not None else c
+            i = add(c, precise=True)
+            j = add(c * c, precise=True)
+            cnt = add(v.astype(jnp.float64)) if v is not None else "counts"
+            ddof = 0
+            is_std = kind == "std"
+
+            def fin_var(env, i=i, j=j, cnt=cnt, ddof=ddof, is_std=is_std):
+                d = env(cnt).astype(jnp.float64)
+                mean = env(i) / d
+                var = jnp.maximum(env(j) / d - mean ** 2, 0.0)
+                if ddof:
+                    var = jnp.where(d > ddof, var * d / (d - ddof), jnp.nan)
+                var = jnp.where(d > 0, var, jnp.nan)
+                return jnp.sqrt(var) if is_std else var
+            builders.append((name, fin_var))
+
+    compute = _get_compiled(fused.shape[0], len(add_cols), len(precise_cols),
+                            tuple(m for _, m in ext_cols))
+    ukeys, counts, sums, psums, exts, G = compute(
+        fused, add_cols, precise_cols, [c for c, _ in ext_cols])
+    G = int(G)
+
+    env_values = {"counts": counts[:G].astype(jnp.int64)}
+
+    def env(slot):
+        if slot == "counts":
+            return env_values["counts"]
+        if isinstance(slot, tuple) and slot[0] == "ext":
+            return exts[slot[1]][:G]
+        precise, idx = slot
+        return (psums[idx][:G] if precise else sums[idx][:G])
+
+    columns = {}
+    ukeys = ukeys[:G]
+    for name, (m, span, lo) in zip(key_names, mults):
+        ordin = (ukeys // m) % span + lo
+        columns[name] = ordin.astype(jnp.int64)
+    for name, fin in builders:
+        columns[name] = fin(env)
+    if not ascending:
+        columns = {k: v[::-1] for k, v in columns.items()}
+    # results STAY device-resident: a 1e7-group q10 result is ~0.6 GB
+    # across key+value columns — the D2H through a tunneled chip costs
+    # many seconds and only happens if the user materializes
+    from . import from_dict
+    return from_dict(columns)
+
+
+def _get_compiled(n, n_add, n_precise, ext_modes):
+    """One jitted program: carried sort + boundary compaction + segment
+    reduces, returning fixed-capacity [n] outputs plus the observed count G
+    (the only host-synced scalar)."""
+    key = (n, n_add, n_precise, ext_modes)
+    if key in _FUSED_CACHE:
+        return _FUSED_CACHE[key]
+    import jax
+    import jax.numpy as jnp
+    from .ops import gridagg
+
+    def run(fused, add_cols, precise_cols, ext_vals):
+        carry = list(add_cols) + list(precise_cols) + list(ext_vals)
+        out = jax.lax.sort((fused,) + tuple(carry), num_keys=1)
+        skey = out[0]
+        s_add = out[1:1 + n_add]
+        s_prec = out[1 + n_add:1 + n_add + n_precise]
+        s_ext = out[1 + n_add + n_precise:]
+
+        end_flag = jnp.concatenate([skey[1:] != skey[:-1], jnp.ones(1, bool)])
+        rank_incl = jnp.cumsum(end_flag.astype(jnp.int32))       # [N] 1-based
+        G = rank_incl[-1]
+        seg = rank_incl - end_flag.astype(jnp.int32)             # 0-based segment id
+        rows = jnp.arange(n, dtype=jnp.int32)
+        idx = jnp.where(end_flag, rank_incl - 1, jnp.int32(n))
+        ends = jnp.zeros(n, jnp.int32).at[idx].set(rows, mode="drop")
+        ukeys = skey[ends]
+        starts = jnp.concatenate([jnp.zeros(1, jnp.int32), ends[:-1] + 1])
+        counts = jnp.where(jnp.arange(n) < G, ends - starts + 1, 0)
+
+        sums = []
+        if n_add:
+            scols = jnp.stack(s_add, axis=1)
+            upper = gridagg.prefix_at(scols, ends)
+            diffs = jnp.diff(upper, axis=0, prepend=jnp.zeros((1, n_add), upper.dtype))
+            sums = [diffs[:, a] for a in range(n_add)]
+        psums = []
+        if n_precise:
+            pcols = jnp.stack(s_prec, axis=1)
+            ps = jax.ops.segment_sum(pcols, seg, num_segments=n,
+                                     indices_are_sorted=True)
+            psums = [ps[:, a] for a in range(n_precise)]
+        exts = []
+        for col, mode in zip(s_ext, ext_modes):
+            grid = gridagg.sorted_extreme(seg, col[:, None], n, mode)[:, 0]
+            exts.append(grid)
+        return ukeys, counts, sums, psums, exts, G
+
+    _FUSED_CACHE[key] = jax.jit(run)
+    return _FUSED_CACHE[key]
