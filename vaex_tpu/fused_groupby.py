@@ -359,32 +359,51 @@ def _get_compiled(n, n_add, n_precise, ext_modes):
         s_ext = out[1 + n_add + n_precise:]
 
         end_flag = jnp.concatenate([skey[1:] != skey[:-1], jnp.ones(1, bool)])
-        rank_incl = jnp.cumsum(end_flag.astype(jnp.int32))       # [N] 1-based
-        G = rank_incl[-1]
-        seg = rank_incl - end_flag.astype(jnp.int32)             # 0-based segment id
+        G = jnp.sum(end_flag.astype(jnp.int32))
         rows = jnp.arange(n, dtype=jnp.int32)
-        idx = jnp.where(end_flag, rank_incl - 1, jnp.int32(n))
-        ends = jnp.zeros(n, jnp.int32).at[idx].set(rows, mode="drop")
-        ukeys = skey[ends]
-        starts = jnp.concatenate([jnp.zeros(1, jnp.int32), ends[:-1] + 1])
-        counts = jnp.where(jnp.arange(n) < G, ends - starts + 1, 0)
+
+        # per-channel inclusive cumsums: the value AT a segment's last row is
+        # the prefix total, so adjacent diffs of the COMPACTED end rows give
+        # segment sums (same cumsum-difference contract as the sort paths)
+        csums = [jnp.cumsum(c) for c in s_add]
+        # extremes: a segmented forward scan leaves the full-segment extreme
+        # at the segment's last row
+        scanned_ext = []
+        for col, mode in zip(s_ext, ext_modes):
+            cmb = jnp.minimum if mode == "min" else jnp.maximum
+
+            def combine(a, b, cmb=cmb):
+                a_k, a_v = a
+                b_k, b_v = b
+                same = b_k == a_k
+                return b_k, jnp.where(same, cmb(a_v, b_v), b_v)
+            _, scanned = jax.lax.associative_scan(combine, (skey, col))
+            scanned_ext.append(scanned)
+
+        # compaction: ONE stable sort moves segment-end rows to the front in
+        # order (measured 76 ms vs 477 ms for the scatter + blocked-prefix +
+        # gather formulation it replaces) carrying keys, row ids, csums and
+        # scanned extremes together
+        comp_ops = ((1 - end_flag.astype(jnp.int32)), skey, rows) + tuple(csums) + tuple(scanned_ext)
+        comp = jax.lax.sort(comp_ops, num_keys=1, is_stable=True)
+        ukeys = comp[1]
+        ends = comp[2]
+        prev_ends = jnp.concatenate([jnp.full(1, -1, jnp.int32), ends[:-1]])
+        counts = jnp.where(rows < G, ends - prev_ends, 0)
 
         sums = []
-        if n_add:
-            scols = jnp.stack(s_add, axis=1)
-            upper = gridagg.prefix_at(scols, ends)
-            diffs = jnp.diff(upper, axis=0, prepend=jnp.zeros((1, n_add), upper.dtype))
-            sums = [diffs[:, a] for a in range(n_add)]
+        for a in range(n_add):
+            ce = comp[3 + a]
+            prev = jnp.concatenate([jnp.zeros(1, ce.dtype), ce[:-1]])
+            sums.append(jnp.where(rows < G, ce - prev, 0))
+        exts = [comp[3 + n_add + e] for e in range(len(ext_modes))]
         psums = []
         if n_precise:
+            seg = jnp.cumsum(end_flag.astype(jnp.int32)) - end_flag.astype(jnp.int32)
             pcols = jnp.stack(s_prec, axis=1)
             ps = jax.ops.segment_sum(pcols, seg, num_segments=n,
                                      indices_are_sorted=True)
             psums = [ps[:, a] for a in range(n_precise)]
-        exts = []
-        for col, mode in zip(s_ext, ext_modes):
-            grid = gridagg.sorted_extreme(seg, col[:, None], n, mode)[:, 0]
-            exts.append(grid)
         return ukeys, counts, sums, psums, exts, G
 
     _FUSED_CACHE[key] = jax.jit(run)

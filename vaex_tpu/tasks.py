@@ -344,10 +344,30 @@ class TaskAggregations(Task):
                     additive = [i for i in additive if not done[i]]
 
         if additive and G <= fused_additive_max:
-            cols = jnp.stack([self.subtasks[i].additive_column(ctx) for i in additive], axis=1)
+            # integer sums ride exact limb columns here too (the TPU
+            # channel-limb kernel above is exact; this CPU/fallback block
+            # summed int64 in f64 and silently lost bits past 2^53)
+            col_specs, col_list = [], []
+            for i in additive:
+                op = self.subtasks[i]
+                exact_cols = (op.additive_columns_exact(ctx)
+                              if hasattr(op, "additive_columns_exact") else None)
+                if exact_cols is not None:
+                    col_specs.append((i, len(exact_cols), True))
+                    col_list.extend(exact_cols)
+                else:
+                    col_specs.append((i, 1, False))
+                    col_list.append(op.additive_column(ctx))
+            cols = jnp.stack(col_list, axis=1)
             grids = gridagg.fused_additive(flat_of(), cols, G)
-            for k, i in enumerate(additive):
-                new_state[i] = self.subtasks[i].apply_additive(state[i], grids[:, k])
+            pos = 0
+            for i, ncols, exact in col_specs:
+                if exact:
+                    new_state[i] = self.subtasks[i].apply_additive_exact(
+                        state[i], grids[:, pos:pos + ncols])
+                else:
+                    new_state[i] = self.subtasks[i].apply_additive(state[i], grids[:, pos])
+                pos += ncols
                 done[i] = True
         elif additive and use_sort_additive:
             # integer sums ride exact limb columns (OpSum.additive_columns_exact)
