@@ -396,21 +396,31 @@ def dense_rank_additive(key, cols, n_bins, precise=()):
     """key [N] int (invalid rows = dtype max), cols [N, A] f64 (invalid rows
     = 0) -> ([n_bins, A] segment sums in key-rank order, ends [n_bins]).
 
-    Exactness matches the generic sort path: f64 cumsum differences (exact
-    for the <= 2^46 integer limb columns; ~eps*N/segment cancellation for
-    floats).  Columns listed in ``precise`` are summed per-segment via
-    scatter-add instead (error ~ eps * segment sum, not eps * running
-    total) — variance moments cancel against mean^2 otherwise, turning the
-    std of a constant group into sqrt(residue)."""
+    Segment compaction rides ONE stable sort on the end-flag carrying the
+    per-channel inclusive cumsums (adjacent diffs of the compacted end rows
+    are the segment sums) — the scatter + blocked-prefix + gather
+    formulation it replaces measured 477 ms at 1e7 rows on chip vs 76 ms
+    for the compaction sort.  Exactness matches the generic sort path: f64
+    cumsum differences (exact for the <= 2^46 integer limb columns;
+    ~eps*N/segment cancellation for floats).  Columns listed in ``precise``
+    are summed per-segment via scatter-add instead (error ~ eps * segment
+    sum, not eps * running total) — variance moments cancel against mean^2
+    otherwise, turning the std of a constant group into sqrt(residue)."""
     import jax
     N, A = cols.shape
     out = jax.lax.sort((key,) + tuple(cols[:, a] for a in range(A)), num_keys=1)
-    ends = segment_ends(out[0], n_bins)
+    skey = out[0]
     scols = jnp.stack(out[1:], axis=1)                       # [N, A]
-    upper = prefix_at(scols, ends)
-    sums = jnp.diff(upper, axis=0, prepend=jnp.zeros((1, A), upper.dtype))
+    end_flag = jnp.concatenate([skey[1:] != skey[:-1], jnp.ones(1, bool)])
+    rows = jnp.arange(N, dtype=jnp.int32)
+    csum = jnp.cumsum(scols, axis=0)
+    comp = jax.lax.sort((1 - end_flag.astype(jnp.int32), rows)
+                        + tuple(csum[:, a] for a in range(A)),
+                        num_keys=1, is_stable=True)
+    ends = comp[1][:n_bins]
+    ce = jnp.stack(comp[2:], axis=1)[:n_bins]                # [n_bins, A]
+    sums = jnp.diff(ce, axis=0, prepend=jnp.zeros((1, A), ce.dtype))
     if precise:
-        skey = out[0]
         seg = jnp.cumsum(jnp.concatenate(
             [jnp.zeros(1, jnp.int32),
              (skey[1:] != skey[:-1]).astype(jnp.int32)]))
