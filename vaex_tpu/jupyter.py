@@ -272,14 +272,14 @@ class ModelDispatcher:
                 model.finish()
 
 
-_dispatchers = {}
-
-
 def get_dispatcher(df):
-    key = id(df)
-    if key not in _dispatchers:
-        _dispatchers[key] = ModelDispatcher(df)
-    return _dispatchers[key]
+    """One dispatcher per DataFrame instance, stored on the frame itself
+    (an id()-keyed registry would leak and could mis-route after CPython
+    reuses a freed id)."""
+    d = getattr(df, "_widget_dispatcher", None)
+    if d is None:
+        d = df._widget_dispatcher = ModelDispatcher(df)
+    return d
 
 
 @register_dataframe_accessor("widget")
