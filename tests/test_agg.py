@@ -239,3 +239,24 @@ def test_minmax_bounded_f32_partition_gate():
     oracle = pd.DataFrame({"k": k, "x": x}).groupby("k").agg(mn=("x", "min"), mx=("x", "max"))
     npt.assert_array_equal(np.asarray(out["mn"].tolist()), oracle["mn"].to_numpy())
     npt.assert_array_equal(np.asarray(out["mx"].tolist()), oracle["mx"].to_numpy())
+
+
+def test_wire_narrowing_streamed_category():
+    """Proven-int32 wire narrowing (execution.py): an int64 categorical key
+    streamed in multiple tiles ships as i32 and widens back on device —
+    results identical to the unnarrowed path."""
+    import vaex_tpu as vt
+    rng = np.random.default_rng(8)
+    n = 30_000
+    k = rng.integers(0, 50, n).astype("i8")
+    x = rng.random(n)
+    df = vt.from_arrays(i1=k, x=x).categorize("i1", labels=list(range(50)))
+    df._tile_rows = 4096  # force multi-tile streaming
+    out = df.groupby("i1", agg={"s": vt.agg.sum("x"), "c": "count"}, sort=True)
+    oracle_c = np.bincount(k, minlength=50)
+    oracle_s = np.bincount(k, weights=x, minlength=50)
+    npt.assert_array_equal(np.asarray(out["c"].tolist()), oracle_c)
+    npt.assert_allclose(np.asarray(out["s"].tolist()), oracle_s, rtol=1e-9)
+    # arithmetic on the narrowed column must still behave as int64
+    big = df.sum("i1 * 100000000")  # would overflow int32 without widening
+    assert int(big) == int((k.astype("i8") * 100000000).sum())
