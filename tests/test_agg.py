@@ -260,3 +260,35 @@ def test_wire_narrowing_streamed_category():
     # arithmetic on the narrowed column must still behave as int64
     big = df.sum("i1 * 100000000")  # would overflow int32 without widening
     assert int(big) == int((k.astype("i8") * 100000000).sum())
+
+
+def test_wire_narrowing_skipped_under_filter():
+    """A memoized minmax on a FILTERED df must not drive wire narrowing:
+    raw tiles stream unfiltered rows whose values can exceed int32 and wrap,
+    wrongly passing the on-device filter (advisor r3 high)."""
+    import vaex_tpu as vt
+    n = 20_000
+    k = np.zeros(n, dtype="i8")
+    k[0] = (1 << 32) + 7  # wraps to 7 on a narrowed int32 wire
+    x = np.ones(n)
+    df = vt.from_arrays(id=k, x=x)
+    dff = df[df.id < 1000]
+    dff._tile_rows = 4096  # force multi-tile streaming
+    # seed the minmax memo the way a prior big-grid sum pre-pass would
+    dff._int_value_bound("id")
+    out = dff.groupby("id", agg={"c": "count"}, sort=True)
+    counts = np.asarray(out["c"].tolist())
+    assert counts.sum() == n - 1  # the 2^32+7 row must stay filtered out
+
+
+def test_exact_percentile_inf_groups():
+    """A group whose bracketing order statistics are both +inf must return
+    inf (pandas), not inf + 0*(inf-inf) = NaN (advisor r3 low)."""
+    import vaex_tpu as vt
+    k = np.array([0, 0, 1, 1], dtype="i8")
+    x = np.array([np.inf, np.inf, 1.0, 3.0])
+    df = vt.from_arrays(k=k, x=x)
+    out = df.groupby("k", agg={"m": vt.agg.median("x")}, sort=True)
+    med = np.asarray(out["m"].tolist())
+    assert np.isinf(med[0]) and med[0] > 0
+    npt.assert_allclose(med[1], 2.0)

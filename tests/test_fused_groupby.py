@@ -119,3 +119,23 @@ def test_fused_leaves_dense_shapes_to_classic(data, monkeypatch):
     df.groupby("id1", agg={"c": "count"})
     df.groupby("id3", agg={"c": "count"})
     assert not calls
+
+
+def test_fused_honors_ddof(data, monkeypatch):
+    """std/var with ddof=1 (pandas convention) must not silently fall back
+    to ddof=0 on the fused path (advisor r3 medium); ddof is also part of
+    the result cache key so ddof=0 and ddof=1 don't alias."""
+    import pandas as pd
+    calls = _spy(monkeypatch)
+    df = vt.from_arrays(**data)
+    out0 = df.groupby("sparse", agg={"s": vt.agg.std("v3", ddof=0)}, sort=True)
+    out1 = df.groupby("sparse", agg={"s": vt.agg.std("v3", ddof=1)}, sort=True)
+    assert calls, "fused path did not engage"
+    pdf = pd.DataFrame(data)
+    g = pdf.groupby("sparse")["v3"]
+    oracle0 = g.std(ddof=0).to_numpy()
+    oracle1 = g.std(ddof=1).to_numpy()
+    npt.assert_allclose(np.asarray(out0["s"].tolist()), oracle0,
+                        rtol=1e-9, atol=1e-12)
+    npt.assert_allclose(np.asarray(out1["s"].tolist()), oracle1,
+                        rtol=1e-9, atol=1e-12)

@@ -264,3 +264,48 @@ def test_groupby_dense_rank_strategy():
     outs = df.groupby("g", agg={"cs": vt.agg.count(selection="fv > 0")}, sort=True)
     wants = pdf.assign(p=pdf.fv > 0).groupby("g")["p"].sum()
     npt.assert_array_equal(outs["cs"].tolist(), wants.to_numpy())
+
+
+def test_shuffle_nat_treated_as_missing():
+    """Datetime NaT (int64 min) must be skipped by min/max like pandas
+    (advisor r3 low: the shuffle route treated NaT as a valid value)."""
+    import pandas as pd
+    import vaex_tpu as vt
+    rng = np.random.default_rng(5)
+    n = 3000
+    k = rng.integers(0, 3, n).astype("i8")
+    t = (np.datetime64("2020-01-01") +
+         rng.integers(0, 10**6, n).astype("m8[s]"))
+    t[::7] = np.datetime64("NaT")
+    df = vt.from_arrays(k=k, t=t)
+    out = df.groupby("k", agg={"mn": vt.agg.min("t"), "mx": vt.agg.max("t")},
+                     sort=True)
+    oracle = pd.DataFrame({"k": k, "t": t}).groupby("k")["t"].agg(["min", "max"])
+    npt.assert_array_equal(np.asarray(out["mn"].tolist()).astype("M8[s]"),
+                           oracle["min"].to_numpy().astype("M8[s]"))
+    npt.assert_array_equal(np.asarray(out["mx"].tolist()).astype("M8[s]"),
+                           oracle["max"].to_numpy().astype("M8[s]"))
+
+
+def test_binner_time_stable_column_name():
+    """BinnerTime's hidden column name must be deterministic across
+    processes (state round-trips; VERDICT r3 weak #9)."""
+    import subprocess
+    import sys
+    code = (
+        "import numpy as np, vaex_tpu as vt\n"
+        "from vaex_tpu.groupby import BinnerTime\n"
+        "t = np.datetime64('2021-01-01') + np.arange(100).astype('m8[D]')\n"
+        "df = vt.from_arrays(t=t)\n"
+        "b = BinnerTime(df.t, resolution='W', df=df)\n"
+        "print(b.binby_expression)\n"
+    )
+    outs = set()
+    for _ in range(2):
+        r = subprocess.run([sys.executable, "-c", code], capture_output=True,
+                           text=True, env={**__import__('os').environ,
+                                           "JAX_PLATFORM_NAME": "cpu",
+                                           "PYTHONHASHSEED": "random"})
+        assert r.returncode == 0, r.stderr
+        outs.add(r.stdout.strip())
+    assert len(outs) == 1, f"column name differs across processes: {outs}"

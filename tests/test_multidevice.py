@@ -391,3 +391,55 @@ def test_shuffle_weak_scaling_accounting(monkeypatch):
         # per-device exchange volume flat in D (within the ceil-div wobble)
         ratio = e["alltoall_bytes_per_device"] / base["alltoall_bytes_per_device"]
         assert 0.9 <= ratio <= 1.1, (D, e, base)
+
+
+def test_shuffle_nat_skipped_min_max(monkeypatch):
+    """Datetime NaT (int64 min) must be masked on the shuffle route so
+    min/max match pandas and the single-device path (advisor r3 low)."""
+    import jax
+    if len(jax.devices()) < 2:
+        pytest.skip("needs multiple devices")
+    import pandas as pd
+    import vaex_tpu.groupby as gb
+    from vaex_tpu.parallel import distributed_executor
+    monkeypatch.setattr(gb, "SHUFFLE_MIN_G", 10)
+    rng = np.random.default_rng(11)
+    n = 5000
+    k = (rng.integers(0, 50, n).astype("i8")) * 7 + 1  # sparse -> set grouper
+    t = (np.datetime64("2020-01-01") +
+         rng.integers(0, 10**6, n).astype("m8[s]"))
+    t[::5] = np.datetime64("NaT")
+    df = vt.from_arrays(k=k, t=t)
+    df.executor = distributed_executor()
+    out = df.groupby("k", agg={"mn": vt.agg.min("t"), "mx": vt.agg.max("t")},
+                     sort=True)
+    oracle = pd.DataFrame({"k": k, "t": t}).groupby("k")["t"].agg(["min", "max"])
+    npt.assert_array_equal(np.asarray(out["mn"].tolist(), dtype="M8[s]"),
+                           oracle["min"].to_numpy().astype("M8[s]"))
+    npt.assert_array_equal(np.asarray(out["mx"].tolist(), dtype="M8[s]"),
+                           oracle["max"].to_numpy().astype("M8[s]"))
+
+
+def test_shuffle_skew_falls_back_to_replicated(monkeypatch):
+    """One hot key exhausting all slack retries must fall back to the
+    replicated-grid path instead of raising (advisor r3 low)."""
+    import jax
+    if len(jax.devices()) < 2:
+        pytest.skip("needs multiple devices")
+    import vaex_tpu.groupby as gb
+    from vaex_tpu.parallel import distributed_executor
+    monkeypatch.setattr(gb, "SHUFFLE_MIN_G", 10)
+    # force immediate exhaustion: zero retries at minimal slack
+    orig = gb._run_shuffle_plan
+    monkeypatch.setattr(gb, "_run_shuffle_plan",
+                        lambda df, oe, plan, G, mesh, **kw:
+                        orig(df, oe, plan, G, mesh, slack=1, max_retries=0))
+    n = 20_000
+    k = np.full(n, 999_983, dtype="i8")  # ONE hot key: maximal skew
+    k[:50] = np.arange(50) * 13 + 1
+    df = vt.from_arrays(k=k, x=np.ones(n))
+    df.executor = distributed_executor()
+    out = df.groupby("k", agg={"c": "count"}, sort=True)
+    counts = np.asarray(out["c"].tolist())
+    assert counts.sum() == n
+    assert counts.max() == n - 50

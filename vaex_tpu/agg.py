@@ -55,6 +55,23 @@ class AggOperation:
     def _valid(self, ctx):
         return ctx.selection_valid(self.selection)
 
+    def _input(self, ctx, i=0):
+        """The i-th input value with datetime NaT folded into the null mask.
+
+        Datetimes ride the device as an int64 view, so NaT arrives as
+        int64-min and would otherwise look like a real (extreme) value to
+        min/max/count/nunique — pandas and the reference both skip it
+        (advisor r3 low)."""
+        import jax.numpy as jnp
+        x = ctx.expr(self.expressions[i])
+        dt = DataType(self.dtype_in) if self.dtype_in is not None else None
+        if (dt is not None and (dt.is_datetime or dt.is_timedelta)
+                and jnp.issubdtype(x.data.dtype, jnp.integer)):
+            from .ops.nullable import NA
+            nat = x.data == jnp.asarray(np.iinfo(np.int64).min, x.data.dtype)
+            x = NA(x.data, nat if x.mask is None else (x.mask | nat))
+        return x
+
     def initial_state(self, G):
         raise NotImplementedError
 
@@ -91,7 +108,7 @@ class OpCount(AggOperation):
     def update(self, state, flat_idx, ctx):
         valid = self._valid(ctx)
         if self.expressions:  # count(expr): skip NaN/null values
-            x = ctx.expr(self.expressions[0])
+            x = self._input(ctx)
             valid = gridagg.value_valid(x, valid)
         return (gridagg.grid_count(state[0], flat_idx, valid),)
 
@@ -102,7 +119,7 @@ class OpCount(AggOperation):
         import jax.numpy as jnp
         valid = self._valid(ctx)
         if self.expressions:
-            x = ctx.expr(self.expressions[0])
+            x = self._input(ctx)
             valid = gridagg.value_valid(x, valid)
         return valid.astype(jnp.float64)
 
@@ -114,7 +131,7 @@ class OpCount(AggOperation):
         import jax.numpy as jnp
         valid = self._valid(ctx)
         if self.expressions:
-            x = ctx.expr(self.expressions[0])
+            x = self._input(ctx)
             valid = gridagg.value_valid(x, valid)
         return ("static", [valid.astype(jnp.float32)])
 
@@ -149,7 +166,7 @@ class OpSum(AggOperation):
         return (jnp.zeros(G, DataType(self.dtype_in).upcast().numpy),)
 
     def update(self, state, flat_idx, ctx):
-        x = ctx.expr(self.expressions[0])
+        x = self._input(ctx)
         return (gridagg.grid_sum(state[0], flat_idx, x, self._valid(ctx)),)
 
     def get_result(self, state):
@@ -157,7 +174,7 @@ class OpSum(AggOperation):
 
     def additive_column(self, ctx):
         import jax.numpy as jnp
-        x = ctx.expr(self.expressions[0])
+        x = self._input(ctx)
         valid = gridagg.value_valid(x, self._valid(ctx))
         return jnp.where(valid, x.data, jnp.zeros((), x.data.dtype)).astype(jnp.float64)
 
@@ -178,7 +195,7 @@ class OpSum(AggOperation):
             return None
         import jax
         import jax.numpy as jnp
-        x = ctx.expr(self.expressions[0])
+        x = self._input(ctx)
         valid = gridagg.value_valid(x, self._valid(ctx))
         d = x.data
         if d.dtype == jnp.uint64:
@@ -233,7 +250,7 @@ class OpSum(AggOperation):
         """
         import jax
         import jax.numpy as jnp
-        x = ctx.expr(self.expressions[0])
+        x = self._input(ctx)
         valid = gridagg.value_valid(x, self._valid(ctx))
         if self._limb_exact():
             d = x.data
@@ -292,7 +309,7 @@ class OpSumMoment(AggOperation):
         return (jnp.zeros(G, jnp.float64),)
 
     def update(self, state, flat_idx, ctx):
-        x = ctx.expr(self.expressions[0])
+        x = self._input(ctx)
         return (gridagg.grid_sum_moment(state[0], flat_idx, x, self._valid(ctx), self.moment),)
 
     def get_result(self, state):
@@ -300,7 +317,7 @@ class OpSumMoment(AggOperation):
 
     def additive_column(self, ctx):
         import jax.numpy as jnp
-        x = ctx.expr(self.expressions[0])
+        x = self._input(ctx)
         valid = gridagg.value_valid(x, self._valid(ctx))
         v = x.data.astype(jnp.float64)
         return jnp.where(valid, v ** self.moment, jnp.zeros((), jnp.float64))
@@ -374,7 +391,7 @@ class OpMin(AggOperation):
         return (jnp.full(G, gridagg.min_identity(dt), dt),)
 
     def update(self, state, flat_idx, ctx):
-        x = ctx.expr(self.expressions[0])
+        x = self._input(ctx)
         return (gridagg.grid_min(state[0], flat_idx, x, self._valid(ctx)),)
 
     def get_result(self, state):
@@ -389,7 +406,7 @@ class OpMin(AggOperation):
 
     def extreme_column(self, ctx):
         import jax.numpy as jnp
-        x = ctx.expr(self.expressions[0])
+        x = self._input(ctx)
         valid = gridagg.value_valid(x, self._valid(ctx))
         dt = DataType(self.dtype_in).device
         fill = jnp.asarray(gridagg.min_identity(dt), dt)
@@ -426,7 +443,7 @@ class OpMax(AggOperation):
         return (jnp.full(G, gridagg.max_identity(dt), dt),)
 
     def update(self, state, flat_idx, ctx):
-        x = ctx.expr(self.expressions[0])
+        x = self._input(ctx)
         return (gridagg.grid_max(state[0], flat_idx, x, self._valid(ctx)),)
 
     def get_result(self, state):
@@ -441,7 +458,7 @@ class OpMax(AggOperation):
 
     def extreme_column(self, ctx):
         import jax.numpy as jnp
-        x = ctx.expr(self.expressions[0])
+        x = self._input(ctx)
         valid = gridagg.value_valid(x, self._valid(ctx))
         dt = DataType(self.dtype_in).device
         fill = jnp.asarray(gridagg.max_identity(dt), dt)
@@ -472,7 +489,7 @@ class OpFirst(AggOperation):
         return (jnp.zeros(G, dt), jnp.full(G, np.inf, jnp.float64))
 
     def update(self, state, flat_idx, ctx):
-        x = ctx.expr(self.expressions[0])
+        x = self._input(ctx)
         order = ctx.expr(self.expressions[1])
         vg, og = gridagg.grid_first(state[0], state[1], flat_idx, x, order,
                                     self._valid(ctx), ctx.i1, ctx.row_ids)
@@ -597,7 +614,7 @@ class OpTopK(AggOperation):
     def _tile_topk(self, flat_idx, ctx):
         import jax
         import jax.numpy as jnp
-        x = ctx.expr(self.expressions[0])
+        x = self._input(ctx)
         valid = gridagg.value_valid(x, self._valid(ctx))
         dt = DataType(self.dtype_in).device
         fill = jnp.asarray(self._fill(), dt)
@@ -688,7 +705,7 @@ class OpPercentile(AggOperation):
     def update(self, state, flat_idx, ctx):
         import jax.numpy as jnp
         (hist,) = state
-        x = ctx.expr(self.expressions[0])
+        x = self._input(ctx)
         valid = gridagg.value_valid(x, self._valid(ctx))
         B = self.bins
         G = hist.shape[0] // B
@@ -773,7 +790,7 @@ class OpPercentileExact(AggOperation):
         import jax.numpy as jnp
         P = len(self.percentages)
         G = state[0].shape[0] // P
-        x = ctx.expr(self.expressions[0])
+        x = self._input(ctx)
         valid = gridagg.value_valid(x, self._valid(ctx))
         v = jnp.where(valid, x.data.astype(jnp.float64), jnp.inf)
         idx = jnp.where(valid, flat_idx, jnp.int32(G)).astype(jnp.int32)
@@ -789,7 +806,10 @@ class OpPercentileExact(AggOperation):
             lo = jnp.floor(p)
             v_lo = sval[jnp.clip(starts + lo.astype(jnp.int32), 0, N - 1)]
             v_hi = sval[jnp.clip(starts + jnp.ceil(p).astype(jnp.int32), 0, N - 1)]
-            value = v_lo + (p - lo) * (v_hi - v_lo)
+            # equal brackets short-circuit: inf + 0*(inf-inf) would be NaN
+            # where pandas returns inf (advisor r3 low)
+            value = jnp.where(v_lo == v_hi, v_lo,
+                              v_lo + (p - lo) * (v_hi - v_lo))
             outs.append(jnp.where(n > 0, value, jnp.nan))
         return (jnp.concatenate(outs) if P > 1 else outs[0],
                 state[1] + jnp.int32(1))

@@ -341,9 +341,16 @@ class ExecutorLocal(Executor):
                     continue
                 lo = hi = None
                 if df.is_category(name):
+                    # category metadata is a declared column-level domain: it
+                    # covers RAW values, so it stays valid under a filter
                     lo = df.category_offset(name)
                     hi = lo + df.category_count(name) - 1
-                else:
+                elif filter_expr is None:
+                    # a memoized minmax on a filtered df respects the filter,
+                    # but tiles stream RAW unfiltered rows — filtered-out
+                    # values beyond int32 would wrap on the narrowed wire and
+                    # could wrongly pass the on-device filter (advisor r3
+                    # high): only trust the memo when no filter is active
                     vb = df._int_value_bound(name, compute=False)
                     if vb is not None:
                         lo, hi = vb

@@ -63,7 +63,13 @@ def _agg_plan(df, parsed):
             return None
         if kind in ("min", "max") and dt.numpy.kind not in "iuf" and dt.numpy.kind != "b":
             return None
-        plan.append((name, kind, (str(e), dt)))
+        if kind in ("std", "var"):
+            # honor the descriptor's ddof (pandas convention is 1; advisor r3
+            # medium: the fused path silently computed ddof=0) — threaded into
+            # fin_var and the cache key below
+            plan.append((name, kind, (str(e), dt, int(getattr(desc, "ddof", 0) or 0))))
+        else:
+            plan.append((name, kind, (str(e), dt)))
     return plan
 
 
@@ -139,7 +145,8 @@ def try_fused_sort_groupby(df, by, actions, sort=False, ascending=True,
     from .utils import fingerprint
     cache_key = fingerprint(
         "fused-groupby", df.fingerprint(), tuple(key_names), tuple(spans), asc,
-        tuple((name, kind, payload if payload is None else payload[0])
+        tuple((name, kind, payload if payload is None
+               else (payload[0],) + tuple(payload[2:]))
               for name, kind, payload in plan))
     hit = cache.lookup(cache_key)
     if hit is not None:
@@ -251,7 +258,7 @@ def _run(df, key_names, spans, plan, ascending):
         if kind == "count_star":
             builders.append((name, lambda env: env("counts")))
             continue
-        expr, dt = payload
+        expr, dt = payload[0], payload[1]
         col = _column_device(df, expr)
         if col is None:
             return None
@@ -294,7 +301,7 @@ def _run(df, key_names, spans, plan, ascending):
             i = add(c, precise=True)
             j = add(c * c, precise=True)
             cnt = add(v.astype(jnp.float64)) if v is not None else "counts"
-            ddof = 0
+            ddof = payload[2]
             is_std = kind == "std"
 
             def fin_var(env, i=i, j=j, cnt=cnt, ddof=ddof, is_std=is_std):
