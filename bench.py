@@ -85,6 +85,8 @@ def main():
 
     best = min(times)
     rows_per_s = N / best
+    times_sorted = sorted(times)
+    median = times_sorted[len(times_sorted) // 2]
 
     # out-of-core leg: HDF5 on disk -> host stage -> H2D -> kernel (the
     # reference's core pitch, README.md:9-11); reported alongside — through
@@ -104,6 +106,11 @@ def main():
         "value": rows_per_s,
         "unit": "rows/s",
         "vs_baseline": rows_per_s / baseline,
+        # per-rep spread (VERDICT r3 #9): tunnel RTT variance is ~2x on
+        # sub-second queries; median vs min bounds it in the record
+        "reps": reps,
+        "rep_times_s": [round(t, 4) for t in times],
+        "median_rows_per_s": N / median,
     }
     if streaming is not None:
         line["streaming_rows_per_s"] = streaming["rows_per_s"]

@@ -1,0 +1,209 @@
+"""Round-4 kernel experiments: diagonal-packed MXU tiles, int8 MXU rate,
+strided de-interleave cost.  Each variant is one pallas program.
+
+Usage: python benchmarks/kern_micro2.py [diag2 diag2_nodot int8dot bf16dot deint]
+"""
+
+import functools
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+sys.path.insert(0, "/root/repo")
+
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+N = 1 << 25
+REPS = 8
+BLOCK = 8192
+
+
+def make_inputs(seed=0):
+    k1, k2 = jax.random.split(jax.random.PRNGKey(seed))
+    idx = jax.random.randint(k1, (N,), 0, 100, dtype=jnp.int32)
+    vals = jax.random.uniform(k2, (N,), dtype=jnp.float32)
+    return idx, vals
+
+
+def timeit(fn, *args):
+    float(np.asarray(fn(*args)))
+    best = None
+    for _ in range(4):
+        t0 = time.perf_counter()
+        float(np.asarray(fn(*args)))
+        dt = time.perf_counter() - t0
+        best = dt if best is None else min(best, dt)
+    rows = N * REPS
+    print(f"  {rows / best / 1e9:8.2f} G rows/s   {best * 1e3:8.1f} ms "
+          f"  {best / rows * 1e9:6.3f} ns/row", flush=True)
+    return best
+
+
+# --- E1: diagonal-packed dot: S=2 streams, U [2*16, Bs], W [2*48, Bs] ------
+# Contraction dim Bs = BLOCK // S: each contraction slot carries S data rows
+# (one per stream, in disjoint sublane/lane blocks of the out tile).
+
+def _diag_kernel(idx_ref, v_ref, acc_ref, *, S, H, CL, skip_dot):
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    idx = idx_ref[:]                        # [S, Bs] i32
+    v = v_ref[:]                            # [S, Bs] f32
+    Bs = idx.shape[1]
+    hi_d = idx >> 3                         # [S, Bs] in [0, 16)
+    # U [(s,h), t] = (h == hi_d[s, t]): repeat rows H times, compare to iota%H
+    hi_rep = pltpu.repeat(hi_d, H, axis=0)  # [S*H, Bs]
+    rowid = jax.lax.broadcasted_iota(jnp.int32, (S * H, Bs), 0)
+    U = ((rowid % H) == hi_rep).astype(jnp.bfloat16)
+    # W [(c,s,l), t]: here faked as CL/S rows per stream of scaled values
+    v_rep = pltpu.repeat(v, CL, axis=0)     # [S*CL, Bs]
+    W = v_rep.astype(jnp.bfloat16)
+    if skip_dot:
+        out = (jnp.zeros((S * H, S * CL), jnp.float32)
+               + jnp.sum(U[:, :128].astype(jnp.float32), axis=1, keepdims=True)
+               + jnp.sum(W[:, :128].astype(jnp.float32), axis=1)[None, :S * CL])
+    else:
+        out = jax.lax.dot_general(U, W, (((1,), (1,)), ((), ())),
+                                  preferred_element_type=jnp.float32)
+    acc_ref[:] += out
+
+
+def diag_run(idx, vals, S=2, H=16, CL=48, block=BLOCK, skip_dot=False):
+    Bs = block // S
+    nb = idx.shape[0] // block
+    idx2 = idx.reshape(nb * S, Bs)
+    v2 = vals.reshape(nb * S, Bs)
+    kernel = functools.partial(_diag_kernel, S=S, H=H, CL=CL, skip_dot=skip_dot)
+    with jax.enable_x64(False):
+        acc = pl.pallas_call(
+            kernel,
+            grid=(nb,),
+            in_specs=[pl.BlockSpec((S, Bs), lambda i: (i, 0)),
+                      pl.BlockSpec((S, Bs), lambda i: (i, 0))],
+            out_specs=pl.BlockSpec((S * H, S * CL), lambda i: (0, 0)),
+            out_shape=jax.ShapeDtypeStruct((S * H, S * CL), jnp.float32),
+        )(idx2, v2)
+    return acc
+
+
+def make_diag(S, H, CL, skip_dot=False, block=BLOCK):
+    @jax.jit
+    def run(idx, vals):
+        def body(i, acc):
+            out = diag_run(idx ^ i, vals, S=S, H=H, CL=CL, block=block,
+                           skip_dot=skip_dot)
+            return acc + out[0, 0]
+        return jax.lax.fori_loop(0, REPS, body, 0.0)
+    return run
+
+
+# --- E2: int8 vs bf16 plain dot (one out tile), cheap operand build --------
+
+def _i8dot_kernel(idx_ref, out_ref, *, g_pad, dtype):
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    idx = idx_ref[:]
+    B = idx.shape[0]
+    binsT = jax.lax.broadcasted_iota(jnp.int32, (g_pad, B), 0)
+    onehotT = (binsT == idx[None, :]).astype(dtype)
+    V = jnp.broadcast_to((idx & 7).astype(dtype)[None, :], (8, B))
+    pref = jnp.int32 if dtype == jnp.int8 else jnp.float32
+    out = jax.lax.dot_general(V, onehotT, (((1,), (1,)), ((), ())),
+                              preferred_element_type=pref)
+    out_ref[:] += out.astype(jnp.float32)
+
+
+def make_i8dot(dtype, block=BLOCK):
+    @jax.jit
+    def run(idx, vals):
+        def body(i, acc):
+            nb = idx.shape[0] // block
+            kernel = functools.partial(_i8dot_kernel, g_pad=128, dtype=dtype)
+            with jax.enable_x64(False):
+                out = pl.pallas_call(
+                    kernel,
+                    grid=(nb,),
+                    in_specs=[pl.BlockSpec((block,), lambda j: (j,))],
+                    out_specs=pl.BlockSpec((8, 128), lambda j: (0, 0)),
+                    out_shape=jax.ShapeDtypeStruct((8, 128), jnp.float32),
+                )(idx ^ i)
+            return acc + out[0, 0]
+        return jax.lax.fori_loop(0, REPS, body, 0.0)
+    return run
+
+
+# --- E3: strided de-interleave of f64-bitcast words ------------------------
+# x_f64 [N] -> bitcast [N, 2] i32 -> reshape [N/128, 256]: lanes alternate
+# (lsw, msw).  Kernel extracts both planes with a strided lax.slice.
+
+def _deint_kernel(w_ref, out_ref):
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    w = w_ref[:]                                   # [R, 256] i32
+    lsw = jax.lax.slice(w, (0, 0), w.shape, (1, 2))     # [R, 128]
+    msw = jax.lax.slice(w, (0, 1), w.shape, (1, 2))
+    # probe: cheap combine so nothing is DCE'd
+    out_ref[:] += (lsw ^ msw)
+
+
+def make_deint(block_rows=64):
+    @jax.jit
+    def run(idx, vals):
+        x = vals.astype(jnp.float64) + 1.0
+        w = jax.lax.bitcast_convert_type(x, jnp.int32)   # [N, 2]
+        w = w.reshape(N // 128, 256)
+
+        def body(i, acc):
+            nb = (N // 128) // block_rows
+            with jax.enable_x64(False):
+                out = pl.pallas_call(
+                    _deint_kernel,
+                    grid=(nb,),
+                    in_specs=[pl.BlockSpec((block_rows, 256), lambda j: (j, 0))],
+                    out_specs=pl.BlockSpec((block_rows, 128), lambda j: (0, 0)),
+                    out_shape=jax.ShapeDtypeStruct((block_rows, 128), jnp.int32),
+                )(w ^ i)
+            return acc + out[0, 0].astype(jnp.float64)
+        return jax.lax.fori_loop(0, REPS, body, 0.0)
+    return run
+
+
+VARIANTS = {
+    "diag2": lambda: make_diag(2, 16, 48),
+    "diag2_nodot": lambda: make_diag(2, 16, 48, skip_dot=True),
+    "diag4": lambda: make_diag(4, 32, 24),
+    "diag1": lambda: make_diag(1, 16, 48),
+    "int8dot": lambda: make_i8dot(jnp.int8),
+    "bf16dot": lambda: make_i8dot(jnp.bfloat16),
+    "deint": lambda: make_deint(),
+}
+
+
+def main():
+    names = sys.argv[1:] or list(VARIANTS)
+    idx, vals = make_inputs()
+    for name in names:
+        print(f"{name}:", flush=True)
+        try:
+            timeit(VARIANTS[name](), idx, vals)
+        except Exception as e:
+            print(f"  FAILED: {type(e).__name__}: {str(e)[:300]}", flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -443,3 +443,89 @@ def test_shuffle_skew_falls_back_to_replicated(monkeypatch):
     counts = np.asarray(out["c"].tolist())
     assert counts.sum() == n
     assert counts.max() == n - 50
+
+
+def test_fused_mesh_groupby_matches_single_device():
+    """VERDICT r3 #3: sparse-key groupby on the mesh rides the fused
+    one-sort plan — shard-local sort, ONE all-to-all, zero set-build
+    passes — and matches the single-device fused path (ints bit-for-bit,
+    floats to 1e-9)."""
+    import jax
+    if len(jax.devices()) < 2:
+        pytest.skip("needs multiple devices")
+    from vaex_tpu.parallel import distributed_executor
+    rng = np.random.default_rng(11)
+    n = 60_000
+    k = rng.integers(0, 2**31, n).astype("i8") * 3 + 5   # sparse, huge span
+    x = rng.normal(0, 10, n)
+    v = rng.integers(-(2**40), 2**40, n).astype("i8")
+    agg = {"c": "count", "s": vt.agg.sum("v"), "fx": vt.agg.sum("x"),
+           "mn": vt.agg.min("x"), "mx": vt.agg.max("v"),
+           "mu": vt.agg.mean("x"), "sd": vt.agg.std("x", ddof=1)}
+
+    df1 = vt.from_arrays(k=k, x=x, v=v)
+    single = df1.groupby("k", agg=agg, sort=True)
+
+    from vaex_tpu import cache
+    with cache.off():
+        df2 = vt.from_arrays(k=k, x=x, v=v)
+        df2.executor = distributed_executor()
+        out = df2.groupby("k", agg=agg, sort=True)
+        log = [t for t in df2.executor.trace_log
+               if isinstance(t, dict) and t.get("fused_mesh_groupby")]
+    assert len(log) == 1, "expected exactly one fused-mesh exchange"
+    assert log[0]["exchanges"] == 1 and log[0]["set_build_passes"] == 0
+
+    npt.assert_array_equal(np.asarray(out["k"].tolist()),
+                           np.asarray(single["k"].tolist()))
+    npt.assert_array_equal(np.asarray(out["c"].tolist()),
+                           np.asarray(single["c"].tolist()))
+    npt.assert_array_equal(np.asarray(out["s"].tolist()),
+                           np.asarray(single["s"].tolist()))
+    npt.assert_array_equal(np.asarray(out["mx"].tolist()),
+                           np.asarray(single["mx"].tolist()))
+    for col in ("fx", "mn", "mu", "sd"):
+        npt.assert_allclose(np.asarray(out[col].tolist()),
+                            np.asarray(single[col].tolist()),
+                            rtol=1e-9, atol=1e-12)
+    # pandas oracle on a couple of columns
+    import pandas as pd
+    oracle = (pd.DataFrame({"k": k, "x": x, "v": v}).groupby("k")
+              .agg(c=("x", "size"), s=("v", "sum"), sd=("x", lambda a: a.std(ddof=1))))
+    npt.assert_array_equal(np.asarray(out["c"].tolist()), oracle["c"].to_numpy())
+    npt.assert_array_equal(np.asarray(out["s"].tolist()), oracle["s"].to_numpy())
+    sd_out = np.asarray(out["sd"].tolist())
+    sd_ora = oracle["sd"].to_numpy()
+    mask = ~np.isnan(sd_ora)
+    npt.assert_allclose(sd_out[mask], sd_ora[mask], rtol=1e-7, atol=1e-9)
+    assert np.all(np.isnan(sd_out[~mask]))
+
+
+def test_fused_mesh_groupby_multikey():
+    """Multi-key packed fused keys ride the mesh one-sort plan too."""
+    import jax
+    if len(jax.devices()) < 2:
+        pytest.skip("needs multiple devices")
+    from vaex_tpu.parallel import distributed_executor
+    rng = np.random.default_rng(13)
+    n = 30_000
+    a = rng.integers(0, 4000, n).astype("i8")
+    b = rng.integers(0, 4000, n).astype("i8")   # product 16e6 > 1e6 threshold
+    x = rng.normal(0, 1, n)
+    from vaex_tpu import cache
+    with cache.off():
+        df = vt.from_arrays(a=a, b=b, x=x)
+        df.executor = distributed_executor()
+        out = df.groupby(["a", "b"], agg={"s": vt.agg.sum("x"), "c": "count"},
+                         sort=True)
+        assert any(isinstance(t, dict) and t.get("fused_mesh_groupby")
+                   for t in df.executor.trace_log)
+    import pandas as pd
+    oracle = (pd.DataFrame({"a": a, "b": b, "x": x})
+              .groupby(["a", "b"], as_index=False)
+              .agg(s=("x", "sum"), c=("x", "size")))
+    npt.assert_array_equal(np.asarray(out["a"].tolist()), oracle["a"].to_numpy())
+    npt.assert_array_equal(np.asarray(out["b"].tolist()), oracle["b"].to_numpy())
+    npt.assert_array_equal(np.asarray(out["c"].tolist()), oracle["c"].to_numpy())
+    npt.assert_allclose(np.asarray(out["s"].tolist()), oracle["s"].to_numpy(),
+                        rtol=1e-9, atol=1e-12)
