@@ -292,3 +292,40 @@ def test_exact_percentile_inf_groups():
     med = np.asarray(out["m"].tolist())
     assert np.isinf(med[0]) and med[0] > 0
     npt.assert_allclose(med[1], 2.0)
+
+
+def test_exact_percentile_streams_across_tiles():
+    """VERDICT r3 #6: exact percentile no longer needs the pass in one tile —
+    tiles collect (cell, value) pairs and finalize runs one sort.  Forcing a
+    tiny tile makes the pass present many tiles; the median must still match
+    pandas to 1e-9 (the approx op's tolerance is ~0.35 here)."""
+    import pandas as pd
+    rng = np.random.default_rng(3)
+    n = 10_000
+    k = rng.integers(0, 37, n).astype("i8")
+    x = rng.normal(0, 100, n)
+    x[rng.random(n) < 0.05] = np.nan
+    df = vt.from_arrays(k=k, x=x)
+    df._tile_rows = 512                     # 20 tiles
+    out = df.groupby("k", agg={"m": vt.agg.median("x")}, sort=True)
+    oracle = pd.DataFrame({"k": k, "x": x}).groupby("k")["x"].median()
+    npt.assert_allclose(np.asarray(out["m"].tolist()), oracle.to_numpy(),
+                        rtol=1e-12, atol=1e-12)
+
+
+def test_exact_percentile_streams_multi_pct():
+    rng = np.random.default_rng(4)
+    n = 3_000
+    k = rng.integers(0, 11, n).astype("i8")
+    x = rng.random(n) * 1000
+    df = vt.from_arrays(k=k, x=x)
+    df._tile_rows = 256
+    out = df.groupby("k", agg={
+        "p25": vt.agg.percentile_approx("x", 25, percentile_shape=None),
+        "p90": vt.agg.percentile_approx("x", 90, percentile_shape=None)}, sort=True)
+    import pandas as pd
+    g = pd.DataFrame({"k": k, "x": x}).groupby("k")["x"]
+    npt.assert_allclose(np.asarray(out["p25"].tolist()),
+                        g.quantile(0.25).to_numpy(), rtol=1e-12)
+    npt.assert_allclose(np.asarray(out["p90"].tolist()),
+                        g.quantile(0.90).to_numpy(), rtol=1e-12)

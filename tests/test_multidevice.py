@@ -529,3 +529,48 @@ def test_fused_mesh_groupby_multikey():
     npt.assert_array_equal(np.asarray(out["c"].tolist()), oracle["c"].to_numpy())
     npt.assert_allclose(np.asarray(out["s"].tolist()), oracle["s"].to_numpy(),
                         rtol=1e-9, atol=1e-12)
+
+
+def test_fused_mesh_exact_median():
+    """VERDICT r3 #6: exact per-group median on the 8-device mesh via the
+    fused one-sort exchange (value column as second sort key), matching
+    pandas to 1e-12 — including NaN skipping and all-NaN groups.  A small
+    cartesian multi-key with a percentile FORCES the fused exchange (the
+    replicated-grid path cannot do exact medians across row shards)."""
+    import jax
+    if len(jax.devices()) < 2:
+        pytest.skip("needs multiple devices")
+    import pandas as pd
+    from vaex_tpu.parallel import distributed_executor
+    from vaex_tpu import cache
+    rng = np.random.default_rng(5)
+    n = 40_000
+    k = rng.integers(0, 2**33, n).astype("i8")
+    x = rng.normal(0, 100, n)
+    x[rng.random(n) < 0.03] = np.nan
+    agg = {"m": vt.agg.median("x"), "p9": vt.agg.percentile_approx("x", 90.0),
+           "c": "count"}
+    with cache.off():
+        df = vt.from_arrays(k=k, x=x)
+        df.executor = distributed_executor()
+        out = df.groupby("k", agg=agg, sort=True)
+        assert any(isinstance(t, dict) and t.get("fused_mesh_groupby")
+                   for t in df.executor.trace_log)
+    g = pd.DataFrame({"k": k, "x": x}).groupby("k")["x"]
+    npt.assert_allclose(np.asarray(out["m"].tolist()), g.median().to_numpy(),
+                        rtol=1e-12, atol=1e-12)
+    npt.assert_allclose(np.asarray(out["p9"].tolist()),
+                        g.quantile(0.9).to_numpy(), rtol=1e-12, atol=1e-12)
+
+    # small cartesian keys + median: percentile forces the fused exchange
+    a = rng.integers(0, 40, n).astype("i8")
+    b = rng.integers(0, 40, n).astype("i8")
+    with cache.off():
+        df2 = vt.from_arrays(a=a, b=b, x=x)
+        df2.executor = distributed_executor()
+        out2 = df2.groupby(["a", "b"], agg={"m": vt.agg.median("x")}, sort=True)
+        assert any(isinstance(t, dict) and t.get("fused_mesh_groupby")
+                   for t in df2.executor.trace_log)
+    og = pd.DataFrame({"a": a, "b": b, "x": x}).groupby(["a", "b"])["x"].median()
+    npt.assert_allclose(np.asarray(out2["m"].tolist()), og.to_numpy(),
+                        rtol=1e-12, atol=1e-12)

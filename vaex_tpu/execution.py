@@ -265,7 +265,11 @@ class ExecutorLocal(Executor):
                 and dataset.device_columns(sorted(device_columns)) is not None):
             T = max(T, *prefs)
 
-        # initial accumulator state
+        # initial accumulator state; tasks with geometry-dependent state
+        # (collect-style ops like exact percentile) read the pass tiling
+        for t in device_tasks:
+            t._pass_tile_rows = T
+            t._pass_n_total = n_total
         states = [t.initial_state() for t in device_tasks]
         states = jax.tree_util.tree_map(jnp.asarray, states)
 

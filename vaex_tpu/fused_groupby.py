@@ -56,7 +56,8 @@ def _agg_plan(df, parsed):
         if kind == "count" and e in (None, "*"):
             plan.append((name, "count_star", None))
             continue
-        if kind not in ("count", "sum", "mean", "min", "max", "std", "var"):
+        if kind not in ("count", "sum", "mean", "min", "max", "std", "var",
+                        "median", "percentile"):
             return None
         try:
             dt = DataType(df.data_type(e))
@@ -66,6 +67,17 @@ def _agg_plan(df, parsed):
             return None
         if kind in ("min", "max") and dt.numpy.kind not in "iuf" and dt.numpy.kind != "b":
             return None
+        if kind in ("median", "percentile"):
+            # exact per-group percentile: the value column rides the carried
+            # sort as a SECOND sort key, so each segment's values come out
+            # sorted and the bracketing order statistics are direct gathers.
+            # One distinct value expression (one secondary key); exact=False
+            # means the caller wants the binned approximation -> classic path.
+            if getattr(desc, "exact", None) is False:
+                return None
+            plan.append((name, "pct",
+                         (str(e), dt, float(getattr(desc, "percentage", 50.0)))))
+            continue
         if kind in ("std", "var"):
             # honor the descriptor's ddof (pandas convention is 1; advisor r3
             # medium: the fused path silently computed ddof=0) — threaded into
@@ -125,24 +137,29 @@ def try_fused_sort_groupby(df, by, actions, sort=False, ascending=True,
     for _, span in spans:
         if not (0 < span < 2 ** 62):
             return None  # range does not fit int64 arithmetic
-    # only engage where the CLASSIC path needs a set build (its extra sort):
-    # single dense-range keys ride the partition kernels with no set build
-    # (q3-class: 253 ms there vs ~1 s here), and small cartesian products
-    # grid directly; the win cases are sparse single keys and multi-key
-    # combines (q2/q9/q10-class: set-build sort + dense-rank sort -> ONE sort)
-    if len(key_names) == 1:
-        if spans[0][1] <= DENSE_RANGE_MAX:
-            return None
-    else:
-        product = 1
-        for _, span in spans:
-            product *= span
-        if product <= 1_000_000:  # classic _should_combine threshold
-            return None
     parsed = GroupByBase._parse_actions(_ParseShim(df, key_names), actions)
     plan = _agg_plan(df, parsed)
     if plan is None:
         return None
+    has_pct = any(kind == "pct" for _, kind, _ in plan)
+    # only engage where the CLASSIC path needs a set build (its extra sort):
+    # single dense-range keys ride the partition kernels with no set build
+    # (q3-class: 253 ms there vs ~1 s here), and small cartesian products
+    # grid directly; the win cases are sparse single keys and multi-key
+    # combines (q2/q9/q10-class: set-build sort + dense-rank sort -> ONE sort).
+    # Exception: a MESH query with an exact percentile always engages — the
+    # replicated-grid path cannot do exact medians across row shards, the
+    # fused exchange can (VERDICT r3 #6)
+    if not (mesh is not None and has_pct):
+        if len(key_names) == 1:
+            if spans[0][1] <= DENSE_RANGE_MAX:
+                return None
+        else:
+            product = 1
+            for _, span in spans:
+                product *= span
+            if product <= 1_000_000:  # classic _should_combine threshold
+                return None
     asc = ascending_list[0] if len(key_names) == 1 else True
     from . import cache
     from .utils import fingerprint
@@ -222,6 +239,10 @@ def _run(df, key_names, spans, plan, ascending, mesh=None):
     precise_cols = []   # f64 columns summed by exact per-segment scatter
     ext_cols = []       # (col f64, mode)
     builders = []       # (out_name, fn(env) -> column) applied after compute
+    pct_expr = [None]   # the ONE value expression riding as second sort key
+    pct_col = [None]
+    pct_valid = [None]  # add-channel slot counting non-NaN rows, or "counts"
+    pct_list = []       # requested percentages
 
     def valid_of(col):
         if col.dtype.kind == "f":
@@ -316,19 +337,40 @@ def _run(df, key_names, spans, plan, ascending, mesh=None):
                 var = jnp.where(d > 0, var, jnp.nan)
                 return jnp.sqrt(var) if is_std else var
             builders.append((name, fin_var))
+        elif kind == "pct":
+            if pct_expr[0] is None:
+                pct_expr[0] = expr
+                c = col.astype(jnp.float64)
+                # NaN -> +inf: sorts past every real value, and the valid
+                # count keeps ranks from ever reaching the mapped tail
+                pct_col[0] = jnp.where(v, c, jnp.inf) if v is not None else c
+                pct_valid[0] = (add(v.astype(jnp.float64))
+                                if v is not None else "counts")
+            elif pct_expr[0] != expr:
+                return None  # one secondary sort key only: classic path
+            j = len(pct_list)
+            pct_list.append(float(payload[2]))
+            builders.append((name, lambda env, j=j: env(("pct", j))))
 
+    pct_spec = None
+    if pct_list:
+        valid_idx = (None if pct_valid[0] == "counts" else pct_valid[0][1])
+        pct_spec = (tuple(pct_list), valid_idx)
     if mesh is not None:
         out = _run_mesh_compute(df, mesh, fused, add_cols, precise_cols,
                                 [c for c, _ in ext_cols],
-                                tuple(m for _, m in ext_cols))
+                                tuple(m for _, m in ext_cols),
+                                pct_spec=pct_spec, pct_col=pct_col[0])
         if out is None:
             return None
-        ukeys, counts, sums, psums, exts, G = out
+        ukeys, counts, sums, psums, exts, pvals, G = out
     else:
         compute = _get_compiled(fused.shape[0], len(add_cols), len(precise_cols),
-                                tuple(m for _, m in ext_cols))
-        ukeys, counts, sums, psums, exts, G = compute(
-            fused, add_cols, precise_cols, [c for c, _ in ext_cols])
+                                tuple(m for _, m in ext_cols), pct_spec=pct_spec)
+        args = [fused, add_cols, precise_cols, [c for c, _ in ext_cols]]
+        if pct_spec is not None:
+            args.append(pct_col[0])
+        ukeys, counts, sums, psums, exts, pvals, G = compute(*args)
         G = int(G)
 
     env_values = {"counts": counts[:G].astype(jnp.int64)}
@@ -338,6 +380,8 @@ def _run(df, key_names, spans, plan, ascending, mesh=None):
             return env_values["counts"]
         if isinstance(slot, tuple) and slot[0] == "ext":
             return exts[slot[1]][:G]
+        if isinstance(slot, tuple) and slot[0] == "pct":
+            return pvals[slot[1]][:G]
         precise, idx = slot
         return (psums[idx][:G] if precise else sums[idx][:G])
 
@@ -358,7 +402,8 @@ def _run(df, key_names, spans, plan, ascending, mesh=None):
 
 
 def _run_mesh_compute(df, mesh, fused, add_cols, precise_cols, ext_vals,
-                      ext_modes, slack=2, max_retries=4):
+                      ext_modes, pct_spec=None, pct_col=None,
+                      slack=2, max_retries=4):
     """Distributed one-sort groupby (VERDICT r3 #3): shard-local carried sort
     -> ONE all-to-all by key range -> local merge + segment reduce.  No set
     build: the reference's partitioned hashmaps
@@ -372,7 +417,7 @@ def _run_mesh_compute(df, mesh, fused, add_cols, precise_cols, ext_vals,
     (pathological key skew -> classic path)."""
     for attempt in range(max_retries + 1):
         out = _mesh_attempt(df, mesh, fused, add_cols, precise_cols, ext_vals,
-                            ext_modes, slack)
+                            ext_modes, pct_spec, pct_col, slack)
         if out is not None:
             return out
         slack *= 2
@@ -380,7 +425,7 @@ def _run_mesh_compute(df, mesh, fused, add_cols, precise_cols, ext_vals,
 
 
 def _mesh_attempt(df, mesh, fused, add_cols, precise_cols, ext_vals,
-                  ext_modes, slack):
+                  ext_modes, pct_spec, pct_col, slack):
     import jax
     import jax.numpy as jnp
     from .ops import gridagg
@@ -403,11 +448,14 @@ def _mesh_attempt(df, mesh, fused, add_cols, precise_cols, ext_vals,
             [c, jnp.full(pad, gridagg.min_identity(c.dtype) if m == "min"
                          else gridagg.max_identity(c.dtype), c.dtype)])
             for c, m in zip(ext_vals, ext_modes)]
+        if pct_col is not None:
+            pct_col = jnp.concatenate([pct_col, jnp.full(pad, jnp.inf)])
 
     compute = _get_compiled_mesh(mesh, n_pad_total, len(add_cols),
-                                 len(precise_cols), ext_modes, cap)
-    ukeys_g, counts_g, sums_g, psums_g, exts_g, G_dev, dropped = compute(
-        fused, add_cols, precise_cols, ext_vals)
+                                 len(precise_cols), ext_modes, cap,
+                                 pct_spec=pct_spec)
+    ukeys_g, counts_g, sums_g, psums_g, exts_g, pvals_g, G_dev, dropped = \
+        compute(fused, add_cols, precise_cols, ext_vals, pct_col)
     if int(np.asarray(dropped).ravel()[0]):
         return None
     Gs = np.asarray(G_dev)                       # [D] host sync (one scalar/dev)
@@ -426,6 +474,7 @@ def _mesh_attempt(df, mesh, fused, add_cols, precise_cols, ext_vals,
     sums = [gather(s) for s in sums_g]
     psums = [gather(s) for s in psums_g]
     exts = [gather(s) for s in exts_g]
+    pvals = [gather(s) for s in pvals_g]
     log = getattr(df.executor, "trace_log", None)
     if log is not None:
         row_bytes = 8 + 8 * (len(add_cols) + len(precise_cols)) + sum(
@@ -434,14 +483,15 @@ def _mesh_attempt(df, mesh, fused, add_cols, precise_cols, ext_vals,
                     "rows": int(N), "groups": G, "exchanges": 1,
                     "set_build_passes": 0, "slack": slack,
                     "alltoall_bytes_per_device": int(capt * row_bytes)})
-    return ukeys, counts, sums, psums, exts, G
+    return ukeys, counts, sums, psums, exts, pvals, G
 
 
 _MESH_CACHE = {}
 
 
-def _get_compiled_mesh(mesh, n, n_add, n_precise, ext_modes, cap):
-    key = (mesh, n, n_add, n_precise, ext_modes, cap)
+def _get_compiled_mesh(mesh, n, n_add, n_precise, ext_modes, cap,
+                       pct_spec=None):
+    key = (mesh, n, n_add, n_precise, ext_modes, cap, pct_spec)
     if key in _MESH_CACHE:
         return _MESH_CACHE[key]
     import jax
@@ -455,7 +505,10 @@ def _get_compiled_mesh(mesh, n, n_add, n_precise, ext_modes, cap):
     nl = n // D
     SENT = jnp.iinfo(jnp.int64).max  # sorts after every real key
 
+    n_pct_chan = 1 if pct_spec is not None else 0
+
     def local(fused_l, *chans):
+        # chans order: [pct_col?] + add + precise + ext
         n_ext = len(ext_modes)
         # key-range ownership from the GLOBAL key extent (psum'd min/max):
         # static range split over [kmin, kmax] keeps every device's range
@@ -487,8 +540,10 @@ def _get_compiled_mesh(mesh, n, n_add, n_precise, ext_modes, cap):
         send_key = pack(skey, SENT)
         send_carry = []
         for c, col in enumerate(scarry):
-            if c >= n_add + n_precise:
-                mode = ext_modes[c - n_add - n_precise]
+            if c < n_pct_chan:
+                fill = jnp.asarray(jnp.inf, col.dtype)
+            elif c >= n_pct_chan + n_add + n_precise:
+                mode = ext_modes[c - n_pct_chan - n_add - n_precise]
                 fill = (gridagg.min_identity(col.dtype) if mode == "min"
                         else gridagg.max_identity(col.dtype))
             else:
@@ -499,15 +554,19 @@ def _get_compiled_mesh(mesh, n, n_add, n_precise, ext_modes, cap):
         recv_carry = [jax.lax.all_to_all(b, axis, 0, 0, tiled=False)
                       for b in send_carry]
 
-        # local merge of the D sorted runs + the single-device fused plan
+        # local merge of the D sorted runs + the single-device fused plan;
+        # the pct column is the SECOND sort key so segment values come out
+        # sorted (exact per-group percentile)
         m = D * cap
         out = jax.lax.sort((recv_key.reshape(-1),)
                            + tuple(b.reshape(-1) for b in recv_carry),
-                           num_keys=1)
+                           num_keys=1 + n_pct_chan)
         k2 = out[0]
-        s_add = out[1:1 + n_add]
-        s_prec = out[1 + n_add:1 + n_add + n_precise]
-        s_ext = out[1 + n_add + n_precise:]
+        s_pct = out[1] if n_pct_chan else None
+        base = 1 + n_pct_chan
+        s_add = out[base:base + n_add]
+        s_prec = out[base + n_add:base + n_add + n_precise]
+        s_ext = out[base + n_add + n_precise:]
         valid = k2 < SENT
         end_any = jnp.concatenate([k2[1:] != k2[:-1], jnp.ones(1, bool)])
         end_flag = end_any & valid
@@ -547,49 +606,61 @@ def _get_compiled_mesh(mesh, n, n_add, n_precise, ext_modes, cap):
             ps = jax.ops.segment_sum(pcols, seg, num_segments=m,
                                      indices_are_sorted=True)
             psums = [ps[:, a] for a in range(n_precise)]
-        return (ukeys, counts, *sums, *psums, *exts,
+        pvals = _segment_percentiles(pct_spec, s_pct, ends, counts, sums, m)
+        return (ukeys, counts, *sums, *psums, *exts, *pvals,
                 G_l.reshape(1), jax.lax.psum(overflow, axis).reshape(1))
 
-    n_out_arrays = 2 + n_add + n_precise + len(ext_modes)
+    n_pvals = len(pct_spec[0]) if pct_spec is not None else 0
+    n_out_arrays = 2 + n_add + n_precise + len(ext_modes) + n_pvals
     shard = _shard_map()
     fn = shard(local, mesh=mesh,
-               in_specs=(P(axis),) * (1 + n_add + n_precise + len(ext_modes)),
+               in_specs=(P(axis),) * (1 + n_pct_chan + n_add + n_precise
+                                      + len(ext_modes)),
                out_specs=(P(axis),) * (n_out_arrays + 1) + (P(),),
                check_vma=False)
-    jitted = jax.jit(lambda f, a, p, e: fn(f, *a, *p, *e))
+    jitted = jax.jit(lambda f, pc, a, p, e: fn(f, *pc, *a, *p, *e))
 
-    def compute(fused, add_cols, precise_cols, ext_vals):
-        out = jitted(fused, tuple(add_cols), tuple(precise_cols),
+    def compute(fused, add_cols, precise_cols, ext_vals, pct_col=None):
+        pc = (pct_col,) if n_pct_chan else ()
+        out = jitted(fused, pc, tuple(add_cols), tuple(precise_cols),
                      tuple(ext_vals))
         ukeys, counts = out[0], out[1]
         sums = list(out[2:2 + n_add])
         psums = list(out[2 + n_add:2 + n_add + n_precise])
-        exts = list(out[2 + n_add + n_precise:n_out_arrays])
+        exts = list(out[2 + n_add + n_precise:
+                        2 + n_add + n_precise + len(ext_modes)])
+        pvals = list(out[2 + n_add + n_precise + len(ext_modes):n_out_arrays])
         G_dev, dropped = out[n_out_arrays], out[n_out_arrays + 1]
-        return ukeys, counts, sums, psums, exts, G_dev, dropped
+        return ukeys, counts, sums, psums, exts, pvals, G_dev, dropped
 
     _MESH_CACHE[key] = compute
     return compute
 
 
-def _get_compiled(n, n_add, n_precise, ext_modes):
+def _get_compiled(n, n_add, n_precise, ext_modes, pct_spec=None):
     """One jitted program: carried sort + boundary compaction + segment
     reduces, returning fixed-capacity [n] outputs plus the observed count G
-    (the only host-synced scalar)."""
-    key = (n, n_add, n_precise, ext_modes)
+    (the only host-synced scalar).  With pct_spec=(pcts, valid_add_idx) the
+    value column rides as the SECOND sort key, so per-segment order
+    statistics are direct gathers (exact percentile, VERDICT r3 #6)."""
+    key = (n, n_add, n_precise, ext_modes, pct_spec)
     if key in _FUSED_CACHE:
         return _FUSED_CACHE[key]
     import jax
     import jax.numpy as jnp
     from .ops import gridagg
 
-    def run(fused, add_cols, precise_cols, ext_vals):
+    def run(fused, add_cols, precise_cols, ext_vals, *maybe_pct):
         carry = list(add_cols) + list(precise_cols) + list(ext_vals)
-        out = jax.lax.sort((fused,) + tuple(carry), num_keys=1)
+        nk = 2 if pct_spec is not None else 1
+        head = (fused,) + tuple(maybe_pct)
+        out = jax.lax.sort(head + tuple(carry), num_keys=nk)
         skey = out[0]
-        s_add = out[1:1 + n_add]
-        s_prec = out[1 + n_add:1 + n_add + n_precise]
-        s_ext = out[1 + n_add + n_precise:]
+        s_pct = out[1] if pct_spec is not None else None
+        base = len(head)
+        s_add = out[base:base + n_add]
+        s_prec = out[base + n_add:base + n_add + n_precise]
+        s_ext = out[base + n_add + n_precise:]
 
         end_flag = jnp.concatenate([skey[1:] != skey[:-1], jnp.ones(1, bool)])
         G = jnp.sum(end_flag.astype(jnp.int32))
@@ -637,7 +708,34 @@ def _get_compiled(n, n_add, n_precise, ext_modes):
             ps = jax.ops.segment_sum(pcols, seg, num_segments=n,
                                      indices_are_sorted=True)
             psums = [ps[:, a] for a in range(n_precise)]
-        return ukeys, counts, sums, psums, exts, G
+        pvals = _segment_percentiles(pct_spec, s_pct, ends, counts, sums, n)
+        return ukeys, counts, sums, psums, exts, pvals, G
 
     _FUSED_CACHE[key] = jax.jit(run)
     return _FUSED_CACHE[key]
+
+
+def _segment_percentiles(pct_spec, s_pct, ends, counts, sums, n):
+    """Per-segment exact percentiles from the (key, value)-sorted column.
+
+    ends: compacted segment-end row indices; segment i occupies
+    [prev_end+1, ends[i]] of the sorted arrays with its values SORTED (the
+    value column was the second sort key).  NaNs were mapped to +inf by the
+    caller, and nv (the non-NaN count) keeps ranks below the mapped tail."""
+    import jax.numpy as jnp
+    if pct_spec is None:
+        return []
+    pcts, valid_idx = pct_spec
+    prev_ends = jnp.concatenate([jnp.full(1, -1, ends.dtype), ends[:-1]])
+    starts = (prev_ends + 1).astype(jnp.int32)
+    nv = (counts.astype(jnp.float64) if valid_idx is None else sums[valid_idx])
+    pvals = []
+    for pct in pcts:
+        p = jnp.clip(pct / 100.0 * (nv - 1), 0.0, jnp.maximum(nv - 1, 0.0))
+        lo = jnp.floor(p)
+        v_lo = s_pct[jnp.clip(starts + lo.astype(jnp.int32), 0, n - 1)]
+        v_hi = s_pct[jnp.clip(starts + jnp.ceil(p).astype(jnp.int32), 0, n - 1)]
+        value = jnp.where(v_lo == v_hi, v_lo,
+                          v_lo + (p - lo) * (v_hi - v_lo))
+        pvals.append(jnp.where(nv > 0, value, jnp.nan))
+    return pvals

@@ -113,10 +113,23 @@ class TaskAggregations(Task):
         import jax.numpy as jnp
         from .ops.binners import grid_size
         G = grid_size(self.binners)
+        # collect-style ops (exact percentile) size their state from the
+        # pass tiling the executor stamped on the task
+        T = getattr(self, "_pass_tile_rows", None)
+        n_total = getattr(self, "_pass_n_total", None)
+        n_slots = None
+        if T and n_total is not None:
+            n_slots = -(-max(n_total, 1) // T) * T
+        states = []
+        for op in self.subtasks:
+            if getattr(op, "needs_pass_geometry", False):
+                states.append(op.initial_state(G, n_slots=n_slots))
+            else:
+                states.append(op.initial_state(G))
         # trailing slot: partition-strategy overflow counter (see
         # ops/pallas_partition.py) — checked at finalize, retried without
         # the partition kernel when nonzero (pathologically clustered keys)
-        return [op.initial_state(G) for op in self.subtasks] + [jnp.zeros((), jnp.int32)]
+        return states + [jnp.zeros((), jnp.int32)]
 
     # strategy thresholds (see ops/gridagg.py + ops/pallas_gridagg.py):
     # one-hot matmul while the one-hot block fits VMEM, then device sort +
