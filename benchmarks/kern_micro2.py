@@ -9,6 +9,7 @@ import sys
 import time
 
 import jax
+jax.config.update("jax_enable_x64", True)
 import jax.numpy as jnp
 import numpy as np
 
@@ -77,16 +78,20 @@ def _diag_kernel(idx_ref, v_ref, acc_ref, *, S, H, CL, skip_dot):
 
 def diag_run(idx, vals, S=2, H=16, CL=48, block=BLOCK, skip_dot=False):
     Bs = block // S
-    nb = idx.shape[0] // block
-    idx2 = idx.reshape(nb * S, Bs)
-    v2 = vals.reshape(nb * S, Bs)
+    n = idx.shape[0]
+    # [S, N/S]: the block's first dim EQUALS the array dim (the Pallas TPU
+    # sublane-divisibility rule allows that), so stream s = the s-th
+    # N/S-slab of the table — any disjoint partition of rows works
+    idx2 = idx.reshape(S, n // S)
+    v2 = vals.reshape(S, n // S)
+    nb = (n // S) // Bs
     kernel = functools.partial(_diag_kernel, S=S, H=H, CL=CL, skip_dot=skip_dot)
     with jax.enable_x64(False):
         acc = pl.pallas_call(
             kernel,
             grid=(nb,),
-            in_specs=[pl.BlockSpec((S, Bs), lambda i: (i, 0)),
-                      pl.BlockSpec((S, Bs), lambda i: (i, 0))],
+            in_specs=[pl.BlockSpec((S, Bs), lambda i: (0, i)),
+                      pl.BlockSpec((S, Bs), lambda i: (0, i))],
             out_specs=pl.BlockSpec((S * H, S * CL), lambda i: (0, 0)),
             out_shape=jax.ShapeDtypeStruct((S * H, S * CL), jnp.float32),
         )(idx2, v2)
@@ -167,6 +172,7 @@ def make_deint(block_rows=64):
         x = vals.astype(jnp.float64) + 1.0
         w = jax.lax.bitcast_convert_type(x, jnp.int32)   # [N, 2]
         w = w.reshape(N // 128, 256)
+        w = w.astype(jnp.int32)
 
         def body(i, acc):
             nb = (N // 128) // block_rows

@@ -190,6 +190,12 @@ class GridModel(_Observable):
             staged |= ax.stage_limits()
         if staged:
             return True
+        if any(not ax._has_limits for ax in self.axes):
+            # an axis minmax promise is still in flight (a reentrant flush
+            # can land here from the FIRST axis's set_limits notification
+            # while the second axis is unresolved) — the owning finish()
+            # completes it and re-schedules
+            return False
         if self.status != "dirty":
             return False
         self.status = "computing"
@@ -298,6 +304,23 @@ class DataFrameAccessorWidget:
         model = GridModel(self.df, axes, agg=agg, selection=selection)
         model.compute()
         return model
+
+    # -- linked views on the GridModel layer (jupyter_view.py) ----------------
+    def histogram_view(self, x=None, shape=64, backend=None):
+        """A brushable histogram bound to a GridModel: brushing selects the
+        interval on the frame and every linked view re-grids in ONE fused
+        pass (reference vaex-jupyter view.py/bqplot.py)."""
+        from .jupyter_view import HistogramView
+        x = x or self._numeric_columns()[0]
+        return HistogramView(self.df, x, shape=shape, backend=backend)
+
+    def heatmap_view(self, x=None, y=None, shape=128, backend=None):
+        """A brushable 2-d count view bound to a GridModel."""
+        from .jupyter_view import HeatmapView
+        cols = self._numeric_columns()
+        x = x or cols[0]
+        y = y or (cols[1] if len(cols) > 1 else cols[0])
+        return HeatmapView(self.df, x, y, shape=shape, backend=backend)
 
     def _numeric_columns(self):
         from .datatype import DataType
