@@ -203,3 +203,36 @@ def test_boosting_requires_library():
     except ImportError:
         with pytest.raises(ImportError):
             m.fit(df)
+
+
+def test_kmeans_clusters_and_transform():
+    """KMeans (reference cluster.py:66): MXU-batched Lloyd's on three
+    well-separated blobs recovers the centers; transform adds the
+    prediction as a virtual column; state round-trips."""
+    from vaex_tpu.ml import KMeans
+    rng = np.random.default_rng(0)
+    centers = np.array([[0.0, 0.0], [10.0, 10.0], [-10.0, 5.0]])
+    X = np.concatenate([rng.normal(c, 0.5, size=(200, 2)) for c in centers])
+    df = vt.from_arrays(a=X[:, 0], b=X[:, 1])
+    km = KMeans(features=["a", "b"], n_clusters=3, n_init=3, random_state=42,
+                chunk_size=150)  # forces multi-chunk streaming fit
+    km.fit(df)
+    got = np.sort(np.asarray(km.cluster_centers_), axis=0)
+    want = np.sort(centers, axis=0)
+    npt.assert_allclose(got, want, atol=0.3)
+    assert km.inertia_ < 600 * 2 * 0.5 ** 2 * 3
+
+    out = km.transform(df)
+    pred = np.asarray(out.evaluate("prediction_kmeans", array_type="numpy"))
+    assert pred.shape == (600,)
+    # each blob maps to exactly one cluster id
+    for blob in range(3):
+        ids = pred[blob * 200:(blob + 1) * 200]
+        assert len(np.unique(ids)) == 1
+
+    # state round-trip through the df state machinery
+    state = km.state_get()
+    km2 = KMeans()
+    km2.state_set(state)
+    pred2 = km2.predict(df)
+    npt.assert_array_equal(pred2, km.predict(df))

@@ -256,3 +256,50 @@ def test_std_precise_on_sort_paths():
     df = vt.from_arrays(k=k, x=x)
     out = df.groupby("k", agg={"sd": vt.agg.std("x")})
     assert np.nanmax(np.asarray(out["sd"].tolist())) == 0.0
+
+
+def test_geo_uncertainty_propagation():
+    """Geo transforms propagate uncertainties through the coordinate change
+    (reference geo.py:58/123/278 -> df.propagate_uncertainties): polar radius
+    sigma of independent (x, y) errors is sqrt((x sx)^2 + (y sy)^2)/r."""
+    rng = np.random.default_rng(8)
+    n = 500
+    x = rng.normal(3, 1, n)
+    y = rng.normal(4, 1, n)
+    df = vt.from_arrays(x=x, y=y,
+                        x_uncertainty=np.full(n, 0.1),
+                        y_uncertainty=np.full(n, 0.2))
+    df.geo.cartesian2polar(radius_out="r", azimuth_out="phi", radians=True,
+                           propagate_uncertainties=True)
+    assert "r_uncertainty" in df.get_column_names(virtual=True)
+    got = np.asarray(df.evaluate("r_uncertainty", array_type="numpy"))
+    r = np.sqrt(x ** 2 + y ** 2)
+    want = np.sqrt((x * 0.1) ** 2 + (y * 0.2) ** 2) / r
+    npt.assert_allclose(got, want, rtol=1e-9)
+
+    # rotation: an isotropic error stays isotropic under rotation
+    df2 = vt.from_arrays(x=x, y=y,
+                         x_uncertainty=np.full(n, 0.3),
+                         y_uncertainty=np.full(n, 0.3))
+    df2.geo.rotation_2d("x", "y", "xr", "yr", angle_degrees=30.0,
+                        propagate_uncertainties=True)
+    got_r = np.asarray(df2.evaluate("xr_uncertainty", array_type="numpy"))
+    npt.assert_allclose(got_r, np.full(n, 0.3), rtol=1e-9)
+
+
+def test_geo_velocity_cartesian2polar_roundtrip():
+    rng = np.random.default_rng(9)
+    n = 300
+    phi = rng.uniform(0, 2 * np.pi, n)
+    r = rng.uniform(1, 5, n)
+    vr = rng.normal(0, 1, n)
+    vphi = rng.normal(0, 1, n)
+    x, y = r * np.cos(phi), r * np.sin(phi)
+    vx = vr * np.cos(phi) - vphi * np.sin(phi)
+    vy = vr * np.sin(phi) + vphi * np.cos(phi)
+    df = vt.from_arrays(x=x, y=y, vx=vx, vy=vy)
+    df.geo.velocity_cartesian2polar(vr_out="vr2", vazimuth_out="vphi2")
+    npt.assert_allclose(np.asarray(df.evaluate("vr2", array_type="numpy")),
+                        vr, rtol=1e-9, atol=1e-12)
+    npt.assert_allclose(np.asarray(df.evaluate("vphi2", array_type="numpy")),
+                        vphi, rtol=1e-9, atol=1e-12)

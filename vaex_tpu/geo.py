@@ -28,6 +28,10 @@ class DataFrameAccessorGeo:
         df[xname] = f"cos({a}) * cos({d}) * ({r}) + {center[0]}"
         df[yname] = f"sin({a}) * cos({d}) * ({r}) + {center[1]}"
         df[zname] = f"sin({d}) * ({r}) + {center[2]}"
+        if propagate_uncertainties:
+            # first-order error propagation through the coordinate change
+            # (reference geo.py:58-59 -> dataframe.propagate_uncertainties)
+            df.propagate_uncertainties([df[xname], df[yname], df[zname]])
         return df
 
     def cartesian2spherical(self, x="x", y="y", z="z", alpha="l", delta="b",
@@ -48,11 +52,62 @@ class DataFrameAccessorGeo:
         return df
 
     def cartesian2polar(self, x="x", y="y", radius_out="polar_radius",
-                        azimuth_out="polar_azimuth", radians=False):
+                        azimuth_out="polar_azimuth", radians=False,
+                        propagate_uncertainties=False):
         df = self.df
         df[radius_out] = f"sqrt(({x})**2 + ({y})**2)"
         az = f"arctan2({y}, {x})"
         df[azimuth_out] = az if radians else f"degrees({az})"
+        if propagate_uncertainties:
+            df.propagate_uncertainties([df[radius_out], df[azimuth_out]])
+        return df
+
+    # reference name (geo.py:96); cartesian2polar is the short alias
+    def cartesian_to_polar(self, *args, **kwargs):
+        return self.cartesian2polar(*args, **kwargs)
+
+    def rotation_2d(self, x, y, xnew, ynew, angle_degrees,
+                    propagate_uncertainties=False):
+        """Rotate (x, y) by a fixed angle (reference geo.py:257)."""
+        df = self.df
+        theta = float(angle_degrees) * np.pi / 180.0
+        c, s = float(np.cos(theta)), float(np.sin(theta))
+        df[xnew] = f"({x}) * {c!r} - ({y}) * {s!r}"
+        df[ynew] = f"({x}) * {s!r} + ({y}) * {c!r}"
+        if propagate_uncertainties:
+            df.propagate_uncertainties([df[xnew], df[ynew]])
+        return df
+
+    def velocity_cartesian2polar(self, x="x", y="y", vx="vx", vy="vy",
+                                 vr_out="vr_polar", vazimuth_out="vphi_polar",
+                                 radius_polar=None,
+                                 propagate_uncertainties=False):
+        """(reference geo.py:158): vr = (x vx + y vy)/r, vphi the tangential
+        component."""
+        df = self.df
+        if radius_polar is None:
+            radius_polar = f"sqrt(({x})**2 + ({y})**2)"
+        df[vr_out] = f"(({x}) * ({vx}) + ({y}) * ({vy})) / ({radius_polar})"
+        df[vazimuth_out] = f"(({x}) * ({vy}) - ({y}) * ({vx})) / ({radius_polar})"
+        if propagate_uncertainties:
+            df.propagate_uncertainties([df[vr_out], df[vazimuth_out]])
+        return df
+
+    def velocity_cartesian2spherical(self, x="x", y="y", z="z", vx="vx",
+                                     vy="vy", vz="vz", vr="vr", vlong="vlong",
+                                     vlat="vlat", distance=None):
+        """(reference geo.py:186): radial + two tangential velocity
+        components in spherical coordinates."""
+        df = self.df
+        if distance is None:
+            distance = f"sqrt(({x})**2 + ({y})**2 + ({z})**2)"
+        df[vr] = (f"(({x}) * ({vx}) + ({y}) * ({vy}) + ({z}) * ({vz}))"
+                  f" / ({distance})")
+        df[vlong] = (f"-(({x}) * ({vy}) - ({y}) * ({vx}))"
+                     f" / sqrt(({x})**2 + ({y})**2)")
+        df[vlat] = (f"-(({z}) * (({x}) * ({vx}) + ({y}) * ({vy}))"
+                    f" - (({x})**2 + ({y})**2) * ({vz}))"
+                    f" / (({distance}) * sqrt(({x})**2 + ({y})**2))")
         return df
 
     def polar2cartesian(self, azimuth="polar_azimuth", radius="polar_radius",
@@ -72,6 +127,9 @@ class DataFrameAccessorGeo:
             azimuth = f"arctan2({y}, {x})"
         df[velocity_cartesian_x] = f"({velocity_radial}) * cos({azimuth}) - ({velocity_azimuthal}) * sin({azimuth})"
         df[velocity_cartesian_y] = f"({velocity_radial}) * sin({azimuth}) + ({velocity_azimuthal}) * cos({azimuth})"
+        if propagate_uncertainties:
+            df.propagate_uncertainties([df[velocity_cartesian_x],
+                                        df[velocity_cartesian_y]])
         return df
 
     def bearing(self, lon1, lat1, lon2, lat2, bearing="bearing"):

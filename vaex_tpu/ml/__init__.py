@@ -28,6 +28,8 @@ from .transformations import (  # noqa: F401
 
 from . import sklearn  # noqa: F401
 from .sklearn import IncrementalPredictor, Predictor  # noqa: F401
+from . import cluster  # noqa: F401
+from .cluster import KMeans  # noqa: F401
 from . import boosting  # noqa: F401
 from .boosting import (  # noqa: F401
     CatBoostModel,
