@@ -329,3 +329,36 @@ def test_exact_percentile_streams_multi_pct():
                         g.quantile(0.25).to_numpy(), rtol=1e-12)
     npt.assert_allclose(np.asarray(out["p90"].tolist()),
                         g.quantile(0.90).to_numpy(), rtol=1e-12)
+
+
+def test_wire_narrowing_f32_exact_values():
+    """VERDICT r3 #5: f64 value columns whose raw values are PROVEN exactly
+    f32-representable ship as f32 after the first (checking) pass — lossless
+    — while non-exact columns never narrow."""
+    rng = np.random.default_rng(12)
+    n = 5_000
+    k = rng.integers(0, 10, n).astype("i8")
+    exact = rng.random(n).astype("f4").astype("f8")    # f32-exact f64
+    exact[::7] = np.nan                                 # NaN survives narrowing
+    lossy = rng.random(n)                               # full f64 mantissas
+    df = vt.from_arrays(k=k, exact=exact, lossy=lossy)
+    df = df.categorize("k", labels=list(range(10)))
+    df._tile_rows = 512
+    from vaex_tpu import cache
+    import pandas as pd
+    oracle = pd.DataFrame({"k": k, "e": exact, "l": lossy}).groupby("k").agg(
+        se=("e", "sum"), sl=("l", "sum"))
+    with cache.off():
+        out1 = df.groupby("k", agg={"se": vt.agg.sum("exact"),
+                                    "sl": vt.agg.sum("lossy")}, sort=True)
+        memo = df.executor._f32_exact_memo
+        states = {name: memo.get((df.fingerprint(), name))
+                  for name in ("exact", "lossy")}
+        assert states["exact"] is True and states["lossy"] is False, states
+        out2 = df.groupby("k", agg={"se": vt.agg.sum("exact"),
+                                    "sl": vt.agg.sum("lossy")}, sort=True)
+    for out in (out1, out2):
+        npt.assert_allclose(np.asarray(out["se"].tolist()),
+                            oracle["se"].to_numpy(), rtol=1e-9)
+        npt.assert_allclose(np.asarray(out["sl"].tolist()),
+                            oracle["sl"].to_numpy(), rtol=1e-9)

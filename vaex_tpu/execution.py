@@ -335,11 +335,27 @@ class ExecutorLocal(Executor):
         # their logical dtype on device, so expression semantics are
         # untouched (16 -> 12 B/row for the canonical key+value stream)
         wire_narrow = {}
+        f32_memo = getattr(self, "_f32_exact_memo", None)
+        if f32_memo is None:
+            f32_memo = self._f32_exact_memo = {}
+        f32_check = {}  # this pass's running exactness verdicts per column
         if device_tasks and dataset.device_columns(sorted(device_columns)) is None:
             for name in sorted(device_columns):
                 try:
                     dt = DataType(df.data_type(name)).numpy
                 except Exception:
+                    continue
+                if dt.kind == "f" and dt.itemsize == 8:
+                    # f64 columns PROVEN exactly f32-representable (a full
+                    # prior pass checked every raw value, NaN-tolerant) ship
+                    # as f32 and widen back on device — lossless, halves the
+                    # value-stream wire bytes (VERDICT r3 #5b).  The check is
+                    # on raw streamed tiles, so it is filter-safe.
+                    state = f32_memo.get((df.fingerprint(), name))
+                    if state is True:
+                        wire_narrow[name] = dt
+                    elif state is None:
+                        f32_check[name] = True  # verify during this pass
                     continue
                 if dt.kind not in "iu" or dt.itemsize <= 4:
                     continue
@@ -389,7 +405,12 @@ class ExecutorLocal(Executor):
                     raise TypeError(f"cannot ship object column {name!r} to device; "
                                     "string expressions must stay host-side")
                 if name in wire_narrow:
-                    data = data.astype(np.int32)
+                    data = data.astype(np.float32 if data.dtype.kind == "f"
+                                       else np.int32)
+                elif f32_check.get(name):
+                    d32 = data.astype(np.float32).astype(np.float64)
+                    if not bool(np.all((data == d32) | np.isnan(data))):
+                        f32_check[name] = False
                 tile[name] = (_pad(data, T), _pad(mask, T) if mask is not None else None)
             if filter_on_device is False and filter_expr is not None:
                 fv = host_scope.evaluate_raw(filter_expr)
@@ -475,6 +496,10 @@ class ExecutorLocal(Executor):
             for task in tasks:
                 task.reject(UserAbort("user aborted"))
             return
+        # commit the f32-exactness verdicts: every raw tile of the full pass
+        # was checked, so the next pass may narrow (or must never try)
+        for name, ok in f32_check.items():
+            f32_memo[(df.fingerprint(), name)] = bool(ok)
         self._finalize_pass(df, device_tasks, host_tasks, states,
                             outputs_per_task, n_total, T, t_start)
 
