@@ -64,7 +64,7 @@ def _fact2_kernel(idx_ref, *rest, n_static, n_float, H, L, shift):
     bins_h = jax.lax.broadcasted_iota(jnp.int32, (H, B), 0)
     oh_hiT = (bins_h == hi_d[None, :]).astype(jnp.bfloat16)       # [H, B]
     bins_l = jax.lax.broadcasted_iota(jnp.int32, (L, B), 0)
-    oh_lo_mask = bins_l == lo_d[None, :]                          # [L, B] bool
+    oh_loT = (bins_l == lo_d[None, :]).astype(jnp.bfloat16)       # [L, B]
 
     static_refs = refs[:n_static]
     float_refs = refs[n_static:]
@@ -90,12 +90,12 @@ def _fact2_kernel(idx_ref, *rest, n_static, n_float, H, L, shift):
         scales.append(scale)
 
     C = len(rows)
-    zero = jnp.zeros((), jnp.bfloat16)
-    # rhs [(c, l), b]: channel value where lo-digit matches, else 0 — a
-    # 2-D select per channel (no 3-D broadcast / reshape relayouts)
+    # rhs [(c, l), b]: channel value where the lo-digit matches, else 0 —
+    # per channel one 2-D bf16 multiply against the lo one-hot (exact:
+    # {0,1} x integer-valued limbs <= 256; no 3-D broadcast relayouts)
     W = jnp.concatenate(
-        [jnp.where(oh_lo_mask, r.astype(jnp.bfloat16)[None, :], zero)
-         for r in rows], axis=0)                                  # [C*L, B]
+        [oh_loT * r.astype(jnp.bfloat16)[None, :] for r in rows],
+        axis=0)                                                   # [C*L, B]
     out = jax.lax.dot_general(oh_hiT, W, (((1,), (1,)), ((), ())),
                               preferred_element_type=jnp.float32)  # [H, CL]
 
@@ -226,3 +226,75 @@ def main():
 
 if __name__ == "__main__":
     main()
+
+
+def make_run_current_vmem(block):
+    """Current flat channels kernel with a raised one-hot VMEM cap."""
+    import vaex_tpu.ops.pallas_gridagg as _pg
+
+    @jax.jit
+    def run(idx, ones, hi, lo):
+        def body(i, acc):
+            s, f = _fused_channels_bigblock(idx ^ i, [ones], [(hi, lo)], G,
+                                            block=block)
+            return acc + s[0, 0] + f[0, 0]
+        return jax.lax.fori_loop(0, REPS, body, 0.0)
+    return run
+
+
+def _fused_channels_bigblock(idx, static_channels, float_pairs, G, block):
+    """fused_additive_channels with the VMEM block cap lifted (v5e has far
+    more physical VMEM than the conservative 8MB one-hot budget)."""
+    n_static = len(static_channels)
+    n_float = len(float_pairs)
+    g_pad = max(-(-(G + 1) // 128) * 128, 128)
+    N_ = idx.shape[0]
+    n_pad = -(-max(N_, block) // block) * block - N_
+
+    def pad(a, fill=0.0):
+        if n_pad == 0:
+            return a
+        return jnp.concatenate([a, jnp.full((n_pad,), fill, a.dtype)])
+
+    idx = jnp.where(idx >= G, g_pad - 1, idx).astype(jnp.int32)
+    idx = pad(idx, g_pad - 1)
+    inputs = [idx]
+    for ch in static_channels:
+        inputs.append(pad(ch.astype(jnp.float32)))
+    for hi, lo in float_pairs:
+        inputs.append(pad(hi.astype(jnp.float32)))
+        inputs.append(pad(lo.astype(jnp.float32)) if lo is not None
+                      else jnp.zeros(N_ + n_pad, jnp.float32))
+    nb = inputs[0].shape[0] // block
+    cs_pad = 8
+    af_pad = 8
+    kernel = functools.partial(pg._channels_kernel, n_static=n_static,
+                               n_float=n_float, g_pad=g_pad)
+    vmem = min(block * g_pad * 2 * 2 + (8 << 20), 120 << 20)
+    with jax.enable_x64(False):
+        acc_s, err_s, acc_f, err_f = pl.pallas_call(
+            kernel,
+            grid=(nb,),
+            in_specs=[pl.BlockSpec((block,), lambda i: (i,))] * len(inputs),
+            out_specs=[pl.BlockSpec((cs_pad, g_pad), lambda i: (0, 0)),
+                       pl.BlockSpec((cs_pad, g_pad), lambda i: (0, 0)),
+                       pl.BlockSpec((af_pad, g_pad), lambda i: (0, 0)),
+                       pl.BlockSpec((af_pad, g_pad), lambda i: (0, 0))],
+            out_shape=[jax.ShapeDtypeStruct((cs_pad, g_pad), jnp.float32),
+                       jax.ShapeDtypeStruct((cs_pad, g_pad), jnp.float32),
+                       jax.ShapeDtypeStruct((af_pad, g_pad), jnp.float32),
+                       jax.ShapeDtypeStruct((af_pad, g_pad), jnp.float32)],
+            compiler_params=pltpu.CompilerParams(vmem_limit_bytes=vmem),
+        )(*inputs)
+    static_sums = (acc_s.astype(jnp.float64) + err_s.astype(jnp.float64))[:n_static, :G]
+    float_sums = jnp.zeros((n_float, G), jnp.float64)
+    if n_float:
+        tot = acc_f.astype(jnp.float64) + err_f.astype(jnp.float64)
+        tot = tot[:n_float * 5, :G]
+        float_sums = tot.reshape(n_float, 5, G).sum(axis=1)
+    return static_sums, float_sums
+
+
+VARIANTS["cur_b32k"] = lambda: make_run_current_vmem(32768)
+VARIANTS["cur_b64k"] = lambda: make_run_current_vmem(65536)
+VARIANTS["cur_b128k"] = lambda: make_run_current_vmem(131072)

@@ -128,3 +128,56 @@ def test_unique_object_mixed_types():
     data[:] = [((1, 2), (3, 4))[i % 2] for i in range(6000)]
     uniq, counts = _unique_and_counts(data, keep_counts=True)
     assert len(uniq) == 2
+
+
+def test_object_bytes_keys_ride_arrow_hash_path():
+    """VERDICT r3 #8: object columns holding non-UTF8 values (bytes)
+    dictionary-encode through arrow's generic inference — set build AND
+    probe use the C++ hash kernels, not per-row Python loops."""
+    from vaex_tpu.ops.setops import SortedSet
+    rng = np.random.default_rng(2)
+    raw = [bytes([b, 255, b ^ 0xAA]) for b in rng.integers(0, 50, 5000)]
+    data = np.asarray(raw, dtype=object)
+    s = SortedSet("string", keep_counts=True)
+    s.update(data)
+    assert s.n_keys == len(set(raw))
+    codes = s.map_ordinal(data)
+    # codes are ordinals into the sorted key array: decoding restores input
+    keys = s.keys
+    decoded = keys[np.asarray(codes)]
+    assert list(decoded) == raw
+    # isin agrees
+    probe = np.asarray([raw[0], b"\x01\x02\x03"], dtype=object)
+    got = s.isin(probe)
+    assert got.tolist() == [True, False]
+
+
+def test_object_mixed_keys_fall_back():
+    """Truly mixed/unorderable object values still probe correctly via the
+    dict fallback."""
+    from vaex_tpu.ops.setops import _string_index_in
+    keys = np.empty(2, dtype=object)
+    keys[:] = [(1, 2), (3, 4)]
+    data = np.empty(3, dtype=object)
+    data[:] = [(3, 4), (1, 2), (9, 9)]
+    codes = _string_index_in(data, keys)
+    assert codes.tolist() == [1, 0, -1]
+
+
+def test_bytes_column_groupby_end_to_end():
+    """Object arrays of bytes ingest as arrow binary (no lossy str() repr)
+    and groupby through the same dictionary-code path as strings."""
+    import pandas as pd
+    rng = np.random.default_rng(6)
+    raw = [bytes([b, 200]) for b in rng.integers(0, 30, 5000)]
+    k = np.asarray(raw, dtype=object)
+    x = rng.random(5000)
+    df = vt.from_dict({"k": k, "x": x})
+    out = df.groupby("k", agg={"s": vt.agg.sum("x"), "c": "count"}, sort=True)
+    oracle = (pd.DataFrame({"k": raw, "x": x})
+              .groupby("k", as_index=False).agg(s=("x", "sum"), c=("x", "size")))
+    np.testing.assert_array_equal(np.asarray(out["c"].tolist()),
+                                  oracle["c"].to_numpy())
+    np.testing.assert_allclose(np.asarray(out["s"].tolist()),
+                               oracle["s"].to_numpy(), rtol=1e-9)
+    assert [bytes(v) for v in out["k"].tolist()] == list(oracle["k"])

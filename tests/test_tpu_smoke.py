@@ -172,3 +172,54 @@ def test_partition_kernel_minmax():
     npt.assert_array_equal(mx[present], want_mx[present].astype(np.float32))
     npt.assert_array_equal(mn[present], want_mn[present].astype(np.float32))
     npt.assert_array_equal(vmx[present], want_vmx[present])
+
+
+def test_channel_kernel_implicit_ones():
+    """Implicit (None) count channels derive the {0,1} row from the
+    validity-folded index in VMEM — exact counts, no HBM ones stream."""
+    from vaex_tpu.ops.pallas_gridagg import (fused_additive_channels,
+                                             fused_additive_two_level_channels)
+    import jax
+    import jax.numpy as jnp
+    rng = np.random.default_rng(4)
+    n, G = 300_000, 700
+    idx = rng.integers(0, G + 40, n).astype(np.int32)  # some rows drop
+    v = rng.normal(0, 1, n)
+    hi = v.astype(np.float32)
+    lo = (v - hi.astype(np.float64)).astype(np.float32)
+    mask = idx < G
+    f = jax.jit(lambda i, h, l: fused_additive_channels(i, [None], [(h, l)], G))
+    ss, fs = f(jnp.asarray(idx), jnp.asarray(hi), jnp.asarray(lo))
+    npt.assert_array_equal(np.asarray(ss)[0].astype(np.int64),
+                           np.bincount(idx[mask], minlength=G))
+    npt.assert_allclose(np.asarray(fs)[0],
+                        np.bincount(idx[mask], weights=v[mask], minlength=G),
+                        atol=1e-9, rtol=1e-9)
+    # two-level variant (mid cardinality)
+    G2 = 5000
+    idx2 = rng.integers(0, G2 + 100, n).astype(np.int32)
+    mask2 = idx2 < G2
+    f2 = jax.jit(lambda i, h, l: fused_additive_two_level_channels(
+        i, [None], [(h, l)], G2))
+    ss2, fs2 = f2(jnp.asarray(idx2), jnp.asarray(hi), jnp.asarray(lo))
+    npt.assert_array_equal(np.asarray(ss2)[0].astype(np.int64),
+                           np.bincount(idx2[mask2], minlength=G2))
+    npt.assert_allclose(np.asarray(fs2)[0],
+                        np.bincount(idx2[mask2], weights=v[mask2], minlength=G2),
+                        atol=1e-9, rtol=1e-9)
+
+
+def test_groupby_count_uses_implicit_channel():
+    """End-to-end: groupby count+sum on device still exact with the
+    implicit count channel engaged (count('*') -> None spec)."""
+    rng = np.random.default_rng(5)
+    n, k = 400_000, 300
+    keys = rng.integers(0, k, n).astype(np.int64)
+    v = rng.normal(0, 10, n)
+    df = vt.from_arrays(i1=keys, v=v).categorize("i1", labels=list(range(k))).to_device()
+    out = df.groupby("i1", agg={"c": "count", "s": vt.agg.sum("v")}, sort=True)
+    npt.assert_array_equal(np.asarray(out["c"].tolist()),
+                           np.bincount(keys, minlength=k))
+    npt.assert_allclose(np.asarray(out["s"].tolist()),
+                        np.bincount(keys, weights=v, minlength=k),
+                        rtol=1e-6, atol=1e-6)

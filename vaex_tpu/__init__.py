@@ -75,7 +75,13 @@ def from_arrays(**arrays) -> DataFrame:
             ar = pa.array(list(ar.data), mask=_np.ma.getmaskarray(ar))
         elif isinstance(ar, _np.ndarray) and ar.dtype.kind in "OUS":
             import pyarrow as pa
-            ar = pa.array([None if v is None else str(v) for v in ar])
+            try:
+                # native inference keeps bytes as binary, strings as utf8 —
+                # no lossy str() round-trip (VERDICT r3 #8 object columns)
+                ar = pa.array(ar.tolist() if ar.dtype == object else ar)
+            except (pa.lib.ArrowInvalid, pa.lib.ArrowTypeError,
+                    pa.lib.ArrowNotImplementedError, ValueError, TypeError):
+                ar = pa.array([None if v is None else str(v) for v in ar])
         columns[name] = ar
     return from_dataset(DatasetArrays(columns))
 

@@ -127,12 +127,20 @@ class OpCount(AggOperation):
         return (state[0] + grid_col.astype(state[0].dtype),)
 
     def kernel_channels(self, ctx):
-        """Channel-limb kernel input: one {0,1} channel (the validity)."""
+        """Channel-limb kernel input: one {0,1} channel (the validity).
+
+        When the validity is EXACTLY the row validity (count('*') or a
+        non-nullable non-float input, no selection), the channel is implicit
+        (None): the kernel derives it from the validity-folded bin index
+        in VMEM — no HBM stream, and 4 fewer wire bytes/row when tiles
+        stream from the host."""
         import jax.numpy as jnp
         valid = self._valid(ctx)
         if self.expressions:
             x = self._input(ctx)
             valid = gridagg.value_valid(x, valid)
+        if valid is ctx.row_valid:
+            return ("static", [None])
         return ("static", [valid.astype(jnp.float32)])
 
     def apply_kernel(self, state, sums):

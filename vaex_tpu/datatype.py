@@ -59,7 +59,11 @@ class DataType:
     @property
     def is_string(self):
         if self.is_arrow:
-            return pa.types.is_string(self.internal) or pa.types.is_large_string(self.internal)
+            # binary counts as string-like, matching numpy 'S' (bytes) below
+            return (pa.types.is_string(self.internal)
+                    or pa.types.is_large_string(self.internal)
+                    or pa.types.is_binary(self.internal)
+                    or pa.types.is_large_binary(self.internal))
         return self.internal.kind in "US"
 
     @property

@@ -277,6 +277,12 @@ class TaskAggregations(Task):
                 if col is not None:
                     ext_cols.append((col, self.subtasks[i].extreme_mode))
                     ext_idx.append(i)
+            # the partition kernel has no implicit-ones support: materialize
+            # any None (row-validity) channels the channel kernels would
+            # have derived in VMEM
+            specs = [(s[0], [ctx.row_valid.astype(jnp.float32) if c is None else c
+                             for c in s[1]]) if s is not None and s[0] == "static"
+                     else s for s in specs]
             if ((kernel_additive or ext_idx)
                     and all(s is not None for s in specs)
                     and pallas_partition.plan(
@@ -347,8 +353,13 @@ class TaskAggregations(Task):
                         or pallas_gridagg.two_level_channels_fits(
                             G, len(static_channels), len(float_pairs)))
                 if fits:
+                    # validity-folded bin index: padding/filtered rows route
+                    # to the drop bin, which lets implicit (None) count
+                    # channels be derived in VMEM from the index alone
+                    flat_dropped = jnp.where(ctx.row_valid, flat_of(),
+                                             jnp.int32(G))
                     static_sums, float_sums = kern(
-                        flat_of(), static_channels, float_pairs, G)
+                        flat_dropped, static_channels, float_pairs, G)
                     for i, (kind, sl) in zip(kadd, slots):
                         sums = (static_sums[sl] if kind == "static"
                                 else float_sums[sl])
