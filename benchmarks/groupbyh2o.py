@@ -103,7 +103,10 @@ TOLERANCES = {
     "q7": {"max_v1": 0, "min_v2": 0},
     "q8": {"largest1_v3": 0, "largest2_v3": 0},
     "q9": {"r2": 1e-9},
-    "q10": {"v3": 1e-9, "v1": 0},
+    # q10's fused one-sort path sums v3 by cumsum differences: error scales
+    # with the running total (~eps * N * mean|v|), the library's documented
+    # ~1e-6-relative float contract — not the 1e-9 of the exact-limb kernels
+    "q10": {"v3": 1e-6, "v1": 0},
 }
 
 
@@ -139,6 +142,11 @@ def main():
                              "upload through a tunneled chip measures the "
                              "network, not the engine)")
     parser.add_argument("--q", default=None, help="comma-separated question subset, e.g. q7,q10")
+    parser.add_argument("--cross-check", action="store_true",
+                        help="re-run each question with the fused one-sort "
+                             "path disabled and compare (independent engine "
+                             "strategies; usable at 1e8 where a pandas "
+                             "oracle cannot ship through the tunnel)")
     args = parser.parse_args()
 
     import vaex_tpu as vt
@@ -181,7 +189,32 @@ def main():
                   f"({len(out):,} groups)", flush=True)
             if args.check:
                 check_question(df, name, out)
+            if args.cross_check:
+                cross_check(df, name, fn, out)
     print(json.dumps(results))
+
+
+def cross_check(df, q, fn, out):
+    """Strategy cross-validation: the same question with the fused one-sort
+    path disabled must agree (ints/counts/extremes exactly, floats 1e-9) —
+    two independent code paths bit-checking each other on-device."""
+    import os
+    os.environ["VAEX_TPU_FUSED_GROUPBY"] = "0"
+    try:
+        out2 = fn(df)
+    finally:
+        os.environ["VAEX_TPU_FUSED_GROUPBY"] = "1"
+    cols = out.get_column_names()
+    assert len(out) == len(out2), f"{q}: {len(out)} vs {len(out2)} groups"
+    keys = [c for c in cols if c.startswith("id")] or cols[:1]
+    a = out.sort(keys) if len(out) else out
+    b = out2.sort(keys) if len(out2) else out2
+    for col in cols:
+        va = np.asarray(a.evaluate(col, array_type="numpy"), dtype="f8")
+        vb = np.asarray(b.evaluate(col, array_type="numpy"), dtype="f8")
+        np.testing.assert_allclose(va, vb, rtol=1e-9, atol=1e-9,
+                                   err_msg=f"{q} col {col} (strategy mismatch)")
+    print(f"  {q} strategies agree ({len(out):,} groups)", flush=True)
 
 
 if __name__ == "__main__":
