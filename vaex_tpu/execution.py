@@ -295,11 +295,49 @@ class ExecutorLocal(Executor):
             resident = dataset.device_columns(tile_inputs)
         if resident is not None:
             self.whole_passes = getattr(self, "whole_passes", 0) + 1
+            # resident narrowing: i64/u64 device columns with a PROVEN int32
+            # range (category metadata always; minmax memo only when no
+            # filter streams raw rows past it) read as cached i32 copies —
+            # halves the key stream's HBM traffic; the step widens in-trace
+            narrow_cache = getattr(self, "_narrow_cache", None)
+            if narrow_cache is None:
+                narrow_cache = self._narrow_cache = {}
+            wire_narrow_res = {}
+            for name in tile_inputs:
+                if name in host_expr_by_slot or name not in resident:
+                    continue
+                try:
+                    dt = DataType(df.data_type(name)).numpy
+                except Exception:
+                    continue
+                if dt.kind not in "iu" or dt.itemsize <= 4:
+                    continue
+                lo = hi = None
+                if df.is_category(name):
+                    lo = df.category_offset(name)
+                    hi = lo + df.category_count(name) - 1
+                elif filter_expr is None:
+                    vb = df._int_value_bound(name, compute=False)
+                    if vb is not None:
+                        lo, hi = vb
+                if lo is None or lo < -(2 ** 31) or hi >= 2 ** 31:
+                    continue
+                ck = (df.fingerprint(), name)
+                narrowed = narrow_cache.get(ck)
+                if narrowed is None:
+                    narrowed = jnp.asarray(resident[name]).astype(jnp.int32)
+                    if len(narrow_cache) >= 4:
+                        narrow_cache.pop(next(iter(narrow_cache)))
+                    narrow_cache[ck] = narrowed
+                resident = dict(resident)
+                resident[name] = narrowed
+                wire_narrow_res[name] = dt
             from .utils import trace
             with trace("whole-pass build+key"):
                 whole = self._get_whole_pass(
                     df, device_tasks, tile_inputs, host_expr_by_slot, set_variables,
-                    filter_expr if filter_on_device else None, T, n_total)
+                    filter_expr if filter_on_device else None, T, n_total,
+                    wire_narrow=wire_narrow_res)
             n_tiles = -(-n_total // T)
             # progress/cancel granularity: one dispatch per CHUNK_TILES tiles
             # when someone is listening (reference execution.py:253-258 emits
@@ -618,7 +656,8 @@ class ExecutorLocal(Executor):
         return jitted
 
     def _get_whole_pass(self, df, device_tasks, tile_inputs, host_expr_by_slot,
-                        set_variables, device_filter_expr, tile_rows, n_total):
+                        set_variables, device_filter_expr, tile_rows, n_total,
+                        wire_narrow=None):
         """One compiled program for the WHOLE pass over device-resident data.
 
         A ``fori_loop`` over tiles replaces the Python dispatch loop: no
@@ -629,7 +668,8 @@ class ExecutorLocal(Executor):
         """
         key = self._step_key(df, device_tasks, tile_inputs, host_expr_by_slot,
                              set_variables, device_filter_expr, None, tile_rows,
-                             extra=("whole-pass", n_total))
+                             extra=("whole-pass", n_total,
+                                    tuple(sorted((wire_narrow or {}).items())) or None))
         if key in self._step_cache:
             return self._step_cache[key]
         set_meta = {name: (s.n_keys, s.has_nan, s.has_null, s)
@@ -638,7 +678,8 @@ class ExecutorLocal(Executor):
         axis_name = mesh.axis_names[0] if mesh is not None else None
         step = _make_step_fn(df, device_tasks, tile_inputs, host_expr_by_slot,
                              set_meta, device_filter_expr, tile_rows,
-                             mesh=mesh, axis_name=axis_name)
+                             mesh=mesh, axis_name=axis_name,
+                             wire_narrow=wire_narrow)
         n_tiles = -(-n_total // tile_rows)
 
         if mesh is None:
