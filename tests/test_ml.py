@@ -236,3 +236,42 @@ def test_kmeans_clusters_and_transform():
     km2.state_set(state)
     pred2 = km2.predict(df)
     npt.assert_array_equal(pred2, km.predict(df))
+
+
+def test_metrics_classification_and_regression():
+    """df.ml.metrics (reference metrics.py): every metric agrees with
+    sklearn on the same arrays."""
+    from sklearn import metrics as skm
+    rng = np.random.default_rng(1)
+    n = 5000
+    y = rng.integers(0, 2, n)
+    p = np.where(rng.random(n) < 0.8, y, 1 - y)   # ~80% accurate
+    yr = rng.normal(0, 2, n)
+    pr = yr + rng.normal(0, 0.5, n)
+    df = vt.from_arrays(y=y.astype("i8"), p=p.astype("i8"), yr=yr, pr=pr)
+    m = df.ml.metrics
+    npt.assert_allclose(m.accuracy_score("y", "p"),
+                        skm.accuracy_score(y, p), rtol=1e-12)
+    npt.assert_array_equal(m.confusion_matrix("y", "p"),
+                           skm.confusion_matrix(y, p))
+    npt.assert_allclose(m.precision_score("y", "p"),
+                        skm.precision_score(y, p), rtol=1e-12)
+    npt.assert_allclose(m.recall_score("y", "p"),
+                        skm.recall_score(y, p), rtol=1e-12)
+    npt.assert_allclose(m.f1_score("y", "p"), skm.f1_score(y, p), rtol=1e-12)
+    npt.assert_allclose(m.matthews_correlation_coefficient("y", "p"),
+                        skm.matthews_corrcoef(y, p), rtol=1e-9)
+    npt.assert_allclose(m.mean_absolute_error("yr", "pr"),
+                        skm.mean_absolute_error(yr, pr), rtol=1e-9)
+    npt.assert_allclose(m.mean_squared_error("yr", "pr"),
+                        skm.mean_squared_error(yr, pr), rtol=1e-9)
+    npt.assert_allclose(m.r2_score("yr", "pr"), skm.r2_score(yr, pr), rtol=1e-9)
+    # multi-class macro averaging
+    y3 = rng.integers(0, 3, n)
+    p3 = np.where(rng.random(n) < 0.7, y3, (y3 + 1) % 3)
+    df3 = vt.from_arrays(y=y3.astype("i8"), p=p3.astype("i8"))
+    got = df3.ml.metrics.precision_recall_fscore("y", "p", average="macro")
+    want = skm.precision_recall_fscore_support(y3, p3, average="macro")[:3]
+    npt.assert_allclose(got, want, rtol=1e-9)
+    report = df.ml.metrics.classification_report("y", "p")
+    assert "Accuracy" in report and "F1" in report

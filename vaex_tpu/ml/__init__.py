@@ -48,6 +48,13 @@ class DataFrameAccessorML:
     def __init__(self, df):
         self.df = df
 
+    @property
+    def metrics(self):
+        """Model evaluation metrics via engine aggregations
+        (reference metrics.py DataFrameAccessorMetrics)."""
+        from .metrics import DataFrameAccessorMetrics
+        return DataFrameAccessorMetrics(self.df)
+
     def label_encoder(self, features, prefix="label_encoded_", allow_unseen=False):
         t = LabelEncoder(features=features, prefix=prefix, allow_unseen=allow_unseen)
         t.fit(self.df)
