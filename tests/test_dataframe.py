@@ -227,3 +227,24 @@ def test_ordinal_encode(df_local):
     assert df.is_category("name_ordinal")
     labels = df.category_labels("name_ordinal")
     assert set(labels) == {"n0", "n1", "n2"}
+
+
+def test_to_copy_delete_virtual_is_masked_column_count():
+    """API parity: to_copy / delete_virtual_column / is_masked /
+    column_count (reference dataframe.py:3049/3631/2099/4012)."""
+    df = vt.from_arrays(
+        x=np.arange(5.0),
+        m=np.ma.MaskedArray(np.arange(5.0), [True, False, False, False, False]))
+    df["v"] = "x * 2"
+    assert df.column_count() == 3
+    assert df.is_masked("m") and not df.is_masked("x") and not df.is_masked("v")
+
+    d2 = df.to_copy(virtual=False)
+    assert "v" not in d2.get_column_names()
+    assert "v" in df.get_column_names()
+
+    df.delete_virtual_column("v")
+    assert "v" not in df.get_column_names()
+    import pytest as _pytest
+    with _pytest.raises(KeyError):
+        df.delete_virtual_column("nope")

@@ -114,6 +114,54 @@ class DataFrame:
             pass
         return df
 
+    def to_copy(self, column_names=None, selection=None, strings=True,
+                virtual=True, selections=True):
+        """Shallow copy, optionally restricted (reference dataframe.py:3049)."""
+        df = self.copy(column_names=column_names)
+        if not virtual:
+            df.virtual_columns = {}
+            df.column_names = [n for n in df.column_names
+                               if n not in self.virtual_columns]
+        if not selections:
+            df.selections = {}
+            df.selection_histories = {}
+            df.selection_history_indices = {}
+        return df
+
+    def delete_virtual_column(self, name):
+        """Remove a virtual column (reference dataframe.py:3631)."""
+        if name not in self.virtual_columns:
+            raise KeyError(f"{name!r} is not a virtual column")
+        del self.virtual_columns[name]
+        if name in self.column_names:
+            self.column_names.remove(name)
+
+    def is_masked(self, column):
+        """Whether the column holds masked (null) values
+        (reference dataframe.py:2099)."""
+        column = str(column)
+        if column in self.dataset:
+            values = self.dataset[column][:1] if self.dataset.row_count else None
+            import numpy as _np
+            full = self.dataset[column][:]
+            if isinstance(full, _np.ma.MaskedArray):
+                return bool(_np.ma.getmaskarray(full).any())
+            try:
+                import pyarrow as pa
+                if isinstance(full, (pa.Array, pa.ChunkedArray)):
+                    return full.null_count > 0
+            except ImportError:  # pragma: no cover
+                pass
+            return False
+        from . import array_types
+        values = self.evaluate(column, array_type=None)
+        data, mask = array_types.data_and_mask(values)
+        return mask is not None and bool(np.asarray(mask).any())
+
+    def column_count(self, hidden=False):
+        """Number of columns incl. virtual (reference dataframe.py:4012)."""
+        return len(self.get_column_names(hidden=hidden))
+
     def _rebind_dataset(self, dataset, keep_filter=True):
         df = self.copy()
         df.dataset = dataset
