@@ -830,21 +830,11 @@ class OpPercentileExact(AggOperation):
         G = self._G
         sidx, sval = jax.lax.sort((idxs, vals), num_keys=2)
         bins = jnp.arange(G, dtype=sidx.dtype)
-        starts = jnp.searchsorted(sidx, bins, side="left")
+        starts = jnp.searchsorted(sidx, bins, side="left").astype(jnp.int32)
         ends = jnp.searchsorted(sidx, bins, side="right")
         n = (ends - starts).astype(jnp.float64)
-        N = sidx.shape[0]
-        outs = []
-        for pct in self.percentages:
-            p = jnp.clip(pct / 100.0 * (n - 1), 0.0, jnp.maximum(n - 1, 0.0))
-            lo = jnp.floor(p)
-            v_lo = sval[jnp.clip(starts + lo.astype(jnp.int32), 0, N - 1)]
-            v_hi = sval[jnp.clip(starts + jnp.ceil(p).astype(jnp.int32), 0, N - 1)]
-            # equal brackets short-circuit: inf + 0*(inf-inf) would be NaN
-            # where pandas returns inf (advisor r3 low)
-            value = jnp.where(v_lo == v_hi, v_lo,
-                              v_lo + (p - lo) * (v_hi - v_lo))
-            outs.append(jnp.where(n > 0, value, jnp.nan))
+        outs = [gridagg.interp_order_stats(sval, starts, n, pct)
+                for pct in self.percentages]
         if len(outs) == 1:
             return outs[0]
         return jnp.stack(outs, axis=1)
@@ -1191,8 +1181,10 @@ class AggregatorDescriptorPercentile(AggregatorDescriptor):
 
     _limits_promise = None
 
-    # HBM budget for the collected (cell, value) pairs: 2^28 rows = 3.2 GB
-    EXACT_MAX_ROWS = 1 << 28
+    # HBM budget for the collected (cell, value) pairs: 2^27 rows = 1.6 GB
+    # per op — several exact-percentile descriptors in ONE pass each
+    # allocate their own buffer, so the per-op cap leaves headroom
+    EXACT_MAX_ROWS = 1 << 27
 
     def _exact_possible(self, df):
         """Tiles collect their (cell, value) pairs into a pass-sized device

@@ -116,8 +116,19 @@ class DataFrame:
 
     def to_copy(self, column_names=None, selection=None, strings=True,
                 virtual=True, selections=True):
-        """Shallow copy, optionally restricted (reference dataframe.py:3049)."""
-        df = self.copy(column_names=column_names)
+        """Copy of the DataFrame; with a selection the selected rows
+        materialize, else data is shared by reference
+        (reference dataframe.py:3049)."""
+        if selection is not None:
+            from . import from_dict
+            df = from_dict(self.to_dict(column_names=column_names,
+                                        selection=selection, strings=strings,
+                                        virtual=virtual))
+            return df
+        names = column_names
+        if names is None and (not strings or not virtual):
+            names = self.get_column_names(strings=strings, virtual=virtual)
+        df = self.copy(column_names=names)
         if not virtual:
             df.virtual_columns = {}
             df.column_names = [n for n in df.column_names
@@ -137,26 +148,26 @@ class DataFrame:
             self.column_names.remove(name)
 
     def is_masked(self, column):
-        """Whether the column holds masked (null) values
-        (reference dataframe.py:2099)."""
+        """Whether the column is masked-array/nullable-typed — a type
+        check, not a value scan (reference dataframe.py:2099)."""
         column = str(column)
         if column in self.dataset:
-            values = self.dataset[column][:1] if self.dataset.row_count else None
-            import numpy as _np
-            full = self.dataset[column][:]
-            if isinstance(full, _np.ma.MaskedArray):
-                return bool(_np.ma.getmaskarray(full).any())
+            col = self.dataset[column][:]  # numpy mmap / arrow: zero-copy view
+            if isinstance(col, np.ma.MaskedArray):
+                return True
             try:
                 import pyarrow as pa
-                if isinstance(full, (pa.Array, pa.ChunkedArray)):
-                    return full.null_count > 0
+                if isinstance(col, (pa.Array, pa.ChunkedArray)):
+                    return col.null_count > 0
             except ImportError:  # pragma: no cover
                 pass
             return False
         from . import array_types
-        values = self.evaluate(column, array_type=None)
+        values = self[0:1].evaluate(column) if len(self) else None
+        if values is None:
+            return False
         data, mask = array_types.data_and_mask(values)
-        return mask is not None and bool(np.asarray(mask).any())
+        return mask is not None
 
     def column_count(self, hidden=False):
         """Number of columns incl. virtual (reference dataframe.py:4012)."""

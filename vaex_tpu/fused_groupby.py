@@ -75,8 +75,10 @@ def _agg_plan(df, parsed):
             # means the caller wants the binned approximation -> classic path.
             if getattr(desc, "exact", None) is False:
                 return None
-            plan.append((name, "pct",
-                         (str(e), dt, float(getattr(desc, "percentage", 50.0)))))
+            pct = getattr(desc, "percentage", 50.0)
+            if isinstance(pct, (list, tuple, np.ndarray)):
+                return None  # multi-percentage descriptors: classic path
+            plan.append((name, "pct", (str(e), dt, float(pct))))
             continue
         if kind in ("std", "var"):
             # honor the descriptor's ddof (pandas convention is 1; advisor r3
@@ -606,7 +608,7 @@ def _get_compiled_mesh(mesh, n, n_add, n_precise, ext_modes, cap,
             ps = jax.ops.segment_sum(pcols, seg, num_segments=m,
                                      indices_are_sorted=True)
             psums = [ps[:, a] for a in range(n_precise)]
-        pvals = _segment_percentiles(pct_spec, s_pct, ends, counts, sums, m)
+        pvals = _segment_percentiles(pct_spec, s_pct, ends, counts, sums)
         return (ukeys, counts, *sums, *psums, *exts, *pvals,
                 G_l.reshape(1), jax.lax.psum(overflow, axis).reshape(1))
 
@@ -708,14 +710,14 @@ def _get_compiled(n, n_add, n_precise, ext_modes, pct_spec=None):
             ps = jax.ops.segment_sum(pcols, seg, num_segments=n,
                                      indices_are_sorted=True)
             psums = [ps[:, a] for a in range(n_precise)]
-        pvals = _segment_percentiles(pct_spec, s_pct, ends, counts, sums, n)
+        pvals = _segment_percentiles(pct_spec, s_pct, ends, counts, sums)
         return ukeys, counts, sums, psums, exts, pvals, G
 
     _FUSED_CACHE[key] = jax.jit(run)
     return _FUSED_CACHE[key]
 
 
-def _segment_percentiles(pct_spec, s_pct, ends, counts, sums, n):
+def _segment_percentiles(pct_spec, s_pct, ends, counts, sums):
     """Per-segment exact percentiles from the (key, value)-sorted column.
 
     ends: compacted segment-end row indices; segment i occupies
@@ -723,19 +725,11 @@ def _segment_percentiles(pct_spec, s_pct, ends, counts, sums, n):
     value column was the second sort key).  NaNs were mapped to +inf by the
     caller, and nv (the non-NaN count) keeps ranks below the mapped tail."""
     import jax.numpy as jnp
+    from .ops import gridagg
     if pct_spec is None:
         return []
     pcts, valid_idx = pct_spec
     prev_ends = jnp.concatenate([jnp.full(1, -1, ends.dtype), ends[:-1]])
     starts = (prev_ends + 1).astype(jnp.int32)
     nv = (counts.astype(jnp.float64) if valid_idx is None else sums[valid_idx])
-    pvals = []
-    for pct in pcts:
-        p = jnp.clip(pct / 100.0 * (nv - 1), 0.0, jnp.maximum(nv - 1, 0.0))
-        lo = jnp.floor(p)
-        v_lo = s_pct[jnp.clip(starts + lo.astype(jnp.int32), 0, n - 1)]
-        v_hi = s_pct[jnp.clip(starts + jnp.ceil(p).astype(jnp.int32), 0, n - 1)]
-        value = jnp.where(v_lo == v_hi, v_lo,
-                          v_lo + (p - lo) * (v_hi - v_lo))
-        pvals.append(jnp.where(nv > 0, value, jnp.nan))
-    return pvals
+    return [gridagg.interp_order_stats(s_pct, starts, nv, pct) for pct in pcts]

@@ -311,15 +311,23 @@ class DataFrameAccessorWidget:
         interval on the frame and every linked view re-grids in ONE fused
         pass (reference vaex-jupyter view.py/bqplot.py)."""
         from .jupyter_view import HistogramView
-        x = x or self._numeric_columns()[0]
+        if x is None:
+            cols = self._numeric_columns()
+            if not cols:
+                raise ValueError("no numeric columns to plot")
+            x = cols[0]
         return HistogramView(self.df, x, shape=shape, backend=backend)
 
     def heatmap_view(self, x=None, y=None, shape=128, backend=None):
         """A brushable 2-d count view bound to a GridModel."""
         from .jupyter_view import HeatmapView
-        cols = self._numeric_columns()
-        x = x or cols[0]
-        y = y or (cols[1] if len(cols) > 1 else cols[0])
+        if x is None or y is None:
+            cols = self._numeric_columns()
+            if len(cols) < 2:
+                raise ValueError("need two numeric columns for a heatmap "
+                                 "(pass x= and y= explicitly)")
+            x = x or cols[0]
+            y = y or cols[1]
         return HeatmapView(self.df, x, y, shape=shape, backend=backend)
 
     def _numeric_columns(self):

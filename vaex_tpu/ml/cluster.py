@@ -19,7 +19,14 @@ import numpy as np
 from .transformations import Transformer
 
 
+_LLOYD_CACHE = []
+
+
 def _lloyd_step_factory():
+    # one jitted pair per process: rebuilding the closures would retrace
+    # (and through a tunneled chip, recompile) on every call
+    if _LLOYD_CACHE:
+        return _LLOYD_CACHE[0]
     import jax
     import jax.numpy as jnp
 
@@ -48,6 +55,7 @@ def _lloyd_step_factory():
         d2 = -2.0 * cross + c2[None, :]
         return jnp.argmin(d2, axis=1)
 
+    _LLOYD_CACHE.append((tile_stats, assign))
     return tile_stats, assign
 
 
@@ -129,10 +137,12 @@ class KMeans(Transformer):
                 if np.all(rel < self.tol):
                     break
             prev_inertia = inertia_np
-        best = int(np.argmin(np.asarray(prev_inertia if prev_inertia is not None
-                                        else inertia_np)))
+        # pick the restart by the FINAL iteration's inertia (selecting on the
+        # previous iteration's vector could crown a run that is no longer
+        # the minimum)
+        best = int(np.argmin(inertia_np))
         self.cluster_centers_ = np.asarray(centroids[best]).tolist()
-        self.inertia_ = float(np.asarray(inertia)[best])
+        self.inertia_ = float(inertia_np[best])
         return self
 
     # -- predict / transform --------------------------------------------------

@@ -35,6 +35,8 @@ class DataFrameAccessorMetrics:
         (reference metrics.py:46)."""
         y_true, y_pred = _names(y_true, y_pred)
         df = self.df
+        if selection is not None:
+            df = df.filter(str(selection))
         classes = sorted(set(df.unique(y_true)) | set(df.unique(y_pred)))
         lut = {c: i for i, c in enumerate(classes)}
         n = len(classes)

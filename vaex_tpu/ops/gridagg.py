@@ -327,6 +327,26 @@ def extreme_lex(idx, col, G, mode):
     return jnp.where(ends > starts, vals, jnp.asarray(fill, col.dtype))
 
 
+def interp_order_stats(sval, starts, nv, pct):
+    """Exact percentile per segment of a (key, value)-sorted column.
+
+    sval [N]: values sorted within each segment (NaNs mapped to +inf by the
+    caller); starts [M] i32: each segment's first row; nv [M] f64: VALID
+    (non-NaN) count per segment — ranks never reach the mapped inf tail.
+    Linear interpolation between the bracketing order statistics
+    (numpy/pandas semantics); equal brackets short-circuit so all-inf
+    segments return inf, not inf + 0*(inf-inf) = NaN.  Shared by
+    OpPercentileExact and the fused one-sort groupby (single + mesh)."""
+    import jax.numpy as jnp
+    N = sval.shape[0]
+    p = jnp.clip(pct / 100.0 * (nv - 1), 0.0, jnp.maximum(nv - 1, 0.0))
+    lo = jnp.floor(p)
+    v_lo = sval[jnp.clip(starts + lo.astype(jnp.int32), 0, N - 1)]
+    v_hi = sval[jnp.clip(starts + jnp.ceil(p).astype(jnp.int32), 0, N - 1)]
+    value = jnp.where(v_lo == v_hi, v_lo, v_lo + (p - lo) * (v_hi - v_lo))
+    return jnp.where(nv > 0, value, jnp.nan)
+
+
 def min_identity(dtype):
     dtype = np.dtype(dtype)
     if dtype.kind == "f":

@@ -398,7 +398,12 @@ def _string_index_in(data, keys):
             except (pa.lib.ArrowInvalid, pa.lib.ArrowTypeError,
                     pa.lib.ArrowNotImplementedError, ValueError, TypeError):
                 continue
-    # unorderable / mixed python objects: per-object dict hashing
+    # unorderable / mixed python objects: per-object dict hashing.  Arrow
+    # arrays convert to python values first (pa scalars never hash-equal
+    # the python key objects — iterating them directly would silently map
+    # every row to -1)
+    if pa is not None and isinstance(data, (pa.Array, pa.ChunkedArray)):
+        data = data.to_pylist()
     lut = {k: i for i, k in enumerate(keys)}
     return np.asarray([lut.get(v, -1) for v in data], dtype=np.int64)
 
