@@ -97,9 +97,11 @@ TOLERANCES = {
     "q4": {"v1": 1e-12, "v2": 1e-12, "v3": 1e-9},
     "q5": {"v1": 0, "v2": 0, "v3": 1e-9},
     # median is EXACT (one carried (cell, value) sort, agg.py
-    # OpPercentileExact — the reference is approx-only); sd moments ride
-    # exact per-segment sums (gridagg precise channels)
-    "q6": {"median_v3": 1e-9, "sd_v3": 1e-9},
+    # OpPercentileExact — the reference is approx-only).  sd moments ride
+    # exact per-segment sums where the sort path exists (CPU passes 1e-9);
+    # the TPU two-level moment kernel for cartesian grids carries the
+    # library's ~1e-6-relative float contract (measured 4e-8 at 3e5 rows)
+    "q6": {"median_v3": 1e-9, "sd_v3": 1e-6},
     "q7": {"max_v1": 0, "min_v2": 0},
     "q8": {"largest1_v3": 0, "largest2_v3": 0},
     "q9": {"r2": 1e-9},
