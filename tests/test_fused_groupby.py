@@ -139,3 +139,31 @@ def test_fused_honors_ddof(data, monkeypatch):
                         rtol=1e-9, atol=1e-12)
     npt.assert_allclose(np.asarray(out1["s"].tolist()), oracle1,
                         rtol=1e-9, atol=1e-12)
+
+
+def test_unpacked_multikey_span_overflow():
+    """Span products past int64 (q10 at 1e8) ride the UNPACKED multi-key
+    sort (raw key columns as lax.sort keys) — a shape the reference cannot
+    run at all (GrouperCombined int64 packing overflows)."""
+    import pandas as pd
+    rng = np.random.default_rng(17)
+    n = 30_000
+    a = rng.integers(0, 2**33, n).astype("i8")   # span ~2^33
+    b = rng.integers(0, 2**33, n).astype("i8")   # product ~2^66 > 2^62
+    x = rng.normal(0, 5, n)
+    v = rng.integers(-100, 100, n).astype("i8")
+    df = vt.from_arrays(a=a, b=b, x=x, v=v)
+    out = df.groupby(["a", "b"], agg={"s": vt.agg.sum("x"), "c": "count",
+                                      "iv": vt.agg.sum("v"),
+                                      "mx": vt.agg.max("x")}, sort=True)
+    oracle = (pd.DataFrame({"a": a, "b": b, "x": x, "v": v})
+              .groupby(["a", "b"], as_index=False)
+              .agg(s=("x", "sum"), c=("x", "size"), iv=("v", "sum"),
+                   mx=("x", "max")))
+    npt.assert_array_equal(np.asarray(out["a"].tolist()), oracle["a"].to_numpy())
+    npt.assert_array_equal(np.asarray(out["b"].tolist()), oracle["b"].to_numpy())
+    npt.assert_array_equal(np.asarray(out["c"].tolist()), oracle["c"].to_numpy())
+    npt.assert_array_equal(np.asarray(out["iv"].tolist()), oracle["iv"].to_numpy())
+    npt.assert_allclose(np.asarray(out["s"].tolist()), oracle["s"].to_numpy(),
+                        rtol=1e-9, atol=1e-9)
+    npt.assert_allclose(np.asarray(out["mx"].tolist()), oracle["mx"].to_numpy())

@@ -574,3 +574,34 @@ def test_fused_mesh_exact_median():
     og = pd.DataFrame({"a": a, "b": b, "x": x}).groupby(["a", "b"])["x"].median()
     npt.assert_allclose(np.asarray(out2["m"].tolist()), og.to_numpy(),
                         rtol=1e-12, atol=1e-12)
+
+
+def test_fused_mesh_unpacked_multikey():
+    """The unpacked multi-key sort (span product past int64) distributes
+    over the mesh too: partition on the leading key, merge sort by all."""
+    import jax
+    if len(jax.devices()) < 2:
+        pytest.skip("needs multiple devices")
+    import pandas as pd
+    from vaex_tpu.parallel import distributed_executor
+    from vaex_tpu import cache
+    rng = np.random.default_rng(19)
+    n = 30_000
+    a = rng.integers(0, 2**33, n).astype("i8")
+    b = rng.integers(0, 2**33, n).astype("i8")
+    x = rng.normal(0, 5, n)
+    with cache.off():
+        df = vt.from_arrays(a=a, b=b, x=x)
+        df.executor = distributed_executor()
+        out = df.groupby(["a", "b"], agg={"s": vt.agg.sum("x"), "c": "count"},
+                         sort=True)
+        assert any(isinstance(t, dict) and t.get("fused_mesh_groupby")
+                   for t in df.executor.trace_log)
+    oracle = (pd.DataFrame({"a": a, "b": b, "x": x})
+              .groupby(["a", "b"], as_index=False)
+              .agg(s=("x", "sum"), c=("x", "size")))
+    npt.assert_array_equal(np.asarray(out["a"].tolist()), oracle["a"].to_numpy())
+    npt.assert_array_equal(np.asarray(out["b"].tolist()), oracle["b"].to_numpy())
+    npt.assert_array_equal(np.asarray(out["c"].tolist()), oracle["c"].to_numpy())
+    npt.assert_allclose(np.asarray(out["s"].tolist()), oracle["s"].to_numpy(),
+                        rtol=1e-9, atol=1e-9)

@@ -16,10 +16,13 @@ filter, whole table in one sort (<= DENSE_RANK_MAX_ROWS).  On a device
 mesh the same plan runs distributed (_run_mesh_compute): shard-local
 carried sort -> ONE all-to-all by key range -> local merge + segment
 reduce — zero set-build passes, one exchange (VERDICT r3 #3).
-Multi-key groupbys pack the keys by their RANGE spans into one int64
-(bails when the span product overflows), and the observed fused keys
-decode back by div/mod — only observed combinations appear, matching the
-reference's empty-cell drops (groupby.py:488-529).
+Multi-key groupbys pack the keys by their RANGE spans into one int64,
+and the observed fused keys decode back by div/mod — only observed
+combinations appear, matching the reference's empty-cell drops
+(groupby.py:488-529).  When the span product overflows int64 (q10 at
+1e8 rows: 1e20) the sort instead carries the RAW key columns as its
+keys (``lax.sort num_keys=k``) — a shape the reference cannot run at
+all (its GrouperCombined packs into one int64 and overflows).
 
 Exactness: integer sums ride 22-bit limb channels (exact mod 2^64, like
 OpSum.additive_columns_exact); float sums are f64 cumsum differences
@@ -130,12 +133,18 @@ def try_fused_sort_groupby(df, by, actions, sort=False, ascending=True,
         if n_valid != n:
             return None  # nulls present
         spans.append((lo, hi - lo + 1))
+    packed = True
     if len(key_names) > 1:
         product = 1.0
         for _, span in spans:
             product *= span
         if product >= 2 ** 62:
-            return None
+            # span product overflows int64 packing (q10 at 1e8: 1e20) —
+            # sort by the RAW key columns instead (lax.sort num_keys=k).
+            # The reference CANNOT run this shape at all: its combined
+            # grouper packs observed cardinalities into one int64 and
+            # overflows the same way (groupby.py:171 GrouperCombined)
+            packed = False
     for _, span in spans:
         if not (0 < span < 2 ** 62):
             return None  # range does not fit int64 arithmetic
@@ -167,6 +176,7 @@ def try_fused_sort_groupby(df, by, actions, sort=False, ascending=True,
     from .utils import fingerprint
     cache_key = fingerprint(
         "fused-groupby", df.fingerprint(), tuple(key_names), tuple(spans), asc,
+        packed,
         tuple((name, kind, payload if payload is None
                else (payload[0],) + tuple(payload[2:]))
               for name, kind, payload in plan))
@@ -176,7 +186,8 @@ def try_fused_sort_groupby(df, by, actions, sort=False, ascending=True,
         result = from_dict(dict(hit))
     else:
         with trace("fused one-sort groupby"):
-            result = _run(df, key_names, spans, plan, asc, mesh=mesh)
+            result = _run(df, key_names, spans, plan, asc, mesh=mesh,
+                          packed=packed)
         if result is None:
             return None
         cols = {name: result.dataset[name][:]
@@ -215,26 +226,33 @@ def _column_device(df, name):
     return jnp.asarray(data)
 
 
-def _run(df, key_names, spans, plan, ascending, mesh=None):
+def _run(df, key_names, spans, plan, ascending, mesh=None, packed=True):
     import jax
     import jax.numpy as jnp
 
-    # fused int64 key from range spans (no per-key set builds)
     keys = []
     for name in key_names:
         col = _column_device(df, name)
         if col is None:
             return None
         keys.append(col.astype(jnp.int64))
-    mult = 1
-    fused = None
-    mults = []
-    for (lo, span), col in zip(reversed(spans), reversed(keys)):
-        part = (col - lo) * mult
-        fused = part if fused is None else fused + part
-        mults.append((mult, span, lo))
-        mult *= span
-    mults = list(reversed(mults))  # per key, leading first
+    if packed:
+        # fused int64 key from range spans (no per-key set builds)
+        mult = 1
+        fused = None
+        mults = []
+        for (lo, span), col in zip(reversed(spans), reversed(keys)):
+            part = (col - lo) * mult
+            fused = part if fused is None else fused + part
+            mults.append((mult, span, lo))
+            mult *= span
+        mults = list(reversed(mults))  # per key, leading first
+        key_ops = (fused,)
+    else:
+        # span product exceeds int64: the sort carries every raw key column
+        # as its own sort key (num_keys=k) — no packing, no overflow
+        mults = None
+        key_ops = tuple(keys)
 
     # channels
     add_cols = []       # f64 columns summed by cumsum-diff
@@ -359,7 +377,7 @@ def _run(df, key_names, spans, plan, ascending, mesh=None):
         valid_idx = (None if pct_valid[0] == "counts" else pct_valid[0][1])
         pct_spec = (tuple(pct_list), valid_idx)
     if mesh is not None:
-        out = _run_mesh_compute(df, mesh, fused, add_cols, precise_cols,
+        out = _run_mesh_compute(df, mesh, key_ops, add_cols, precise_cols,
                                 [c for c, _ in ext_cols],
                                 tuple(m for _, m in ext_cols),
                                 pct_spec=pct_spec, pct_col=pct_col[0])
@@ -367,9 +385,11 @@ def _run(df, key_names, spans, plan, ascending, mesh=None):
             return None
         ukeys, counts, sums, psums, exts, pvals, G = out
     else:
-        compute = _get_compiled(fused.shape[0], len(add_cols), len(precise_cols),
-                                tuple(m for _, m in ext_cols), pct_spec=pct_spec)
-        args = [fused, add_cols, precise_cols, [c for c, _ in ext_cols]]
+        compute = _get_compiled(key_ops[0].shape[0], len(add_cols),
+                                len(precise_cols),
+                                tuple(m for _, m in ext_cols),
+                                pct_spec=pct_spec, n_keys=len(key_ops))
+        args = [key_ops, add_cols, precise_cols, [c for c, _ in ext_cols]]
         if pct_spec is not None:
             args.append(pct_col[0])
         ukeys, counts, sums, psums, exts, pvals, G = compute(*args)
@@ -388,10 +408,15 @@ def _run(df, key_names, spans, plan, ascending, mesh=None):
         return (psums[idx][:G] if precise else sums[idx][:G])
 
     columns = {}
-    ukeys = ukeys[:G]
-    for name, (m, span, lo) in zip(key_names, mults):
-        ordin = (ukeys // m) % span + lo
-        columns[name] = ordin.astype(jnp.int64)
+    if packed:
+        uk = ukeys[0][:G]
+        for name, (m, span, lo) in zip(key_names, mults):
+            ordin = (uk // m) % span + lo
+            columns[name] = ordin.astype(jnp.int64)
+    else:
+        # unpacked: the raw key columns rode both sorts — no decode
+        for name, uk in zip(key_names, ukeys):
+            columns[name] = uk[:G]
     for name, fin in builders:
         columns[name] = fin(env)
     if not ascending:
@@ -403,7 +428,7 @@ def _run(df, key_names, spans, plan, ascending, mesh=None):
     return from_dict(columns)
 
 
-def _run_mesh_compute(df, mesh, fused, add_cols, precise_cols, ext_vals,
+def _run_mesh_compute(df, mesh, key_ops, add_cols, precise_cols, ext_vals,
                       ext_modes, pct_spec=None, pct_col=None,
                       slack=2, max_retries=4):
     """Distributed one-sort groupby (VERDICT r3 #3): shard-local carried sort
@@ -418,7 +443,7 @@ def _run_mesh_compute(df, mesh, fused, add_cols, precise_cols, ext_vals,
     length G (device-resident), or None when slack retries are exhausted
     (pathological key skew -> classic path)."""
     for attempt in range(max_retries + 1):
-        out = _mesh_attempt(df, mesh, fused, add_cols, precise_cols, ext_vals,
+        out = _mesh_attempt(df, mesh, key_ops, add_cols, precise_cols, ext_vals,
                             ext_modes, pct_spec, pct_col, slack)
         if out is not None:
             return out
@@ -426,7 +451,7 @@ def _run_mesh_compute(df, mesh, fused, add_cols, precise_cols, ext_vals,
     return None
 
 
-def _mesh_attempt(df, mesh, fused, add_cols, precise_cols, ext_vals,
+def _mesh_attempt(df, mesh, key_ops, add_cols, precise_cols, ext_vals,
                   ext_modes, pct_spec, pct_col, slack):
     import jax
     import jax.numpy as jnp
@@ -434,7 +459,7 @@ def _mesh_attempt(df, mesh, fused, add_cols, precise_cols, ext_vals,
 
     axis = mesh.axis_names[0]
     D = mesh.shape[axis]
-    N = fused.shape[0]
+    N = key_ops[0].shape[0]
     pad = (-N) % D
     n_pad_total = N + pad
     n_local = n_pad_total // D
@@ -442,7 +467,8 @@ def _mesh_attempt(df, mesh, fused, add_cols, precise_cols, ext_vals,
 
     if pad:
         big = jnp.iinfo(jnp.int64).max
-        fused = jnp.concatenate([fused, jnp.full((pad,), big, jnp.int64)])
+        key_ops = tuple(jnp.concatenate([k, jnp.full((pad,), big, jnp.int64)])
+                        for k in key_ops)
         add_cols = [jnp.concatenate([c, jnp.zeros(pad, c.dtype)]) for c in add_cols]
         precise_cols = [jnp.concatenate([c, jnp.zeros(pad, c.dtype)])
                         for c in precise_cols]
@@ -455,9 +481,9 @@ def _mesh_attempt(df, mesh, fused, add_cols, precise_cols, ext_vals,
 
     compute = _get_compiled_mesh(mesh, n_pad_total, len(add_cols),
                                  len(precise_cols), ext_modes, cap,
-                                 pct_spec=pct_spec)
+                                 pct_spec=pct_spec, n_keys=len(key_ops))
     ukeys_g, counts_g, sums_g, psums_g, exts_g, pvals_g, G_dev, dropped = \
-        compute(fused, add_cols, precise_cols, ext_vals, pct_col)
+        compute(key_ops, add_cols, precise_cols, ext_vals, pct_col)
     if int(np.asarray(dropped).ravel()[0]):
         return None
     Gs = np.asarray(G_dev)                       # [D] host sync (one scalar/dev)
@@ -471,7 +497,7 @@ def _mesh_attempt(df, mesh, fused, add_cols, precise_cols, ext_vals,
             return arr[:0]
         return jnp.concatenate(parts) if len(parts) > 1 else parts[0]
 
-    ukeys = gather(ukeys_g)
+    ukeys = tuple(gather(k) for k in ukeys_g)
     counts = gather(counts_g)
     sums = [gather(s) for s in sums_g]
     psums = [gather(s) for s in psums_g]
@@ -492,8 +518,8 @@ _MESH_CACHE = {}
 
 
 def _get_compiled_mesh(mesh, n, n_add, n_precise, ext_modes, cap,
-                       pct_spec=None):
-    key = (mesh, n, n_add, n_precise, ext_modes, cap, pct_spec)
+                       pct_spec=None, n_keys=1):
+    key = (mesh, n, n_add, n_precise, ext_modes, cap, pct_spec, n_keys)
     if key in _MESH_CACHE:
         return _MESH_CACHE[key]
     import jax
@@ -509,27 +535,29 @@ def _get_compiled_mesh(mesh, n, n_add, n_precise, ext_modes, cap,
 
     n_pct_chan = 1 if pct_spec is not None else 0
 
-    def local(fused_l, *chans):
-        # chans order: [pct_col?] + add + precise + ext
-        n_ext = len(ext_modes)
-        # key-range ownership from the GLOBAL key extent (psum'd min/max):
-        # static range split over [kmin, kmax] keeps every device's range
-        # non-empty without a host round-trip
-        real = fused_l < SENT
-        kmin = jax.lax.pmin(jnp.min(jnp.where(real, fused_l, SENT)), axis)
-        kmax = jax.lax.pmax(jnp.max(jnp.where(real, fused_l, jnp.int64(-2**62))), axis)
+    def local(*args):
+        keys_l = args[:n_keys]
+        chans = args[n_keys:]   # [pct_col?] + add + precise + ext
+        # key-range ownership from the GLOBAL extent of the LEADING key
+        # (psum'd min/max): groups share all keys, so partitioning on the
+        # first alone never splits a group across devices
+        k0 = keys_l[0]
+        real = k0 < SENT
+        kmin = jax.lax.pmin(jnp.min(jnp.where(real, k0, SENT)), axis)
+        kmax = jax.lax.pmax(jnp.max(jnp.where(real, k0, jnp.int64(-2**62))), axis)
         rng_sz = jnp.maximum((kmax - kmin) // D + 1, 1)
 
-        # ONE carried sort by the fused key: owner order == key order
-        sorted_out = jax.lax.sort((fused_l,) + tuple(chans), num_keys=1)
-        skey = sorted_out[0]
-        scarry = sorted_out[1:]
-        sowner = jnp.where(skey >= SENT, D,
-                           jnp.clip((skey - kmin) // rng_sz, 0, D - 1)
+        # ONE carried sort by the key columns: owner order == key order
+        sorted_out = jax.lax.sort(tuple(keys_l) + tuple(chans), num_keys=n_keys)
+        skeys = sorted_out[:n_keys]
+        scarry = sorted_out[n_keys:]
+        sk0 = skeys[0]
+        sowner = jnp.where(sk0 >= SENT, D,
+                           jnp.clip((sk0 - kmin) // rng_sz, 0, D - 1)
                            ).astype(jnp.int32)
         idx = jax.lax.broadcasted_iota(jnp.int32, (nl, 1), 0).squeeze(-1)
         bounds = kmin + jnp.arange(D + 1, dtype=jnp.int64) * rng_sz
-        start = jnp.searchsorted(skey, bounds)
+        start = jnp.searchsorted(sk0, bounds)
         rank = idx - start[jnp.clip(sowner, 0, D - 1)].astype(jnp.int32)
         overflow = jnp.sum((rank >= cap) & (sowner < D))
         dest = jnp.where((sowner < D) & (rank < cap),
@@ -539,7 +567,7 @@ def _get_compiled_mesh(mesh, n, n_add, n_precise, ext_modes, cap,
             buf = jnp.full((D * cap,), fill, vals.dtype)
             return buf.at[dest].set(vals, mode="drop").reshape(D, cap)
 
-        send_key = pack(skey, SENT)
+        send_keys = [pack(k, SENT) for k in skeys]
         send_carry = []
         for c, col in enumerate(scarry):
             if c < n_pct_chan:
@@ -552,55 +580,48 @@ def _get_compiled_mesh(mesh, n, n_add, n_precise, ext_modes, cap,
                 fill = jnp.zeros((), col.dtype)
             send_carry.append(pack(col, fill))
 
-        recv_key = jax.lax.all_to_all(send_key, axis, 0, 0, tiled=False)
+        recv_keys = [jax.lax.all_to_all(b, axis, 0, 0, tiled=False)
+                     for b in send_keys]
         recv_carry = [jax.lax.all_to_all(b, axis, 0, 0, tiled=False)
                       for b in send_carry]
 
         # local merge of the D sorted runs + the single-device fused plan;
-        # the pct column is the SECOND sort key so segment values come out
+        # the pct column is an EXTRA sort key so segment values come out
         # sorted (exact per-group percentile)
         m = D * cap
-        out = jax.lax.sort((recv_key.reshape(-1),)
+        out = jax.lax.sort(tuple(b.reshape(-1) for b in recv_keys)
                            + tuple(b.reshape(-1) for b in recv_carry),
-                           num_keys=1 + n_pct_chan)
-        k2 = out[0]
-        s_pct = out[1] if n_pct_chan else None
-        base = 1 + n_pct_chan
+                           num_keys=n_keys + n_pct_chan)
+        k2s = out[:n_keys]
+        s_pct = out[n_keys] if n_pct_chan else None
+        base = n_keys + n_pct_chan
         s_add = out[base:base + n_add]
         s_prec = out[base + n_add:base + n_add + n_precise]
         s_ext = out[base + n_add + n_precise:]
-        valid = k2 < SENT
-        end_any = jnp.concatenate([k2[1:] != k2[:-1], jnp.ones(1, bool)])
+        valid = k2s[0] < SENT
+        end_any = _seg_ends(k2s)
         end_flag = end_any & valid
         G_l = jnp.sum(end_flag.astype(jnp.int32))
         rows = jnp.arange(m, dtype=jnp.int32)
 
         csums = [jnp.cumsum(c) for c in s_add]
-        scanned_ext = []
-        for col, mode in zip(s_ext, ext_modes):
-            cmb = jnp.minimum if mode == "min" else jnp.maximum
+        scanned_ext = [_scan_extreme(k2s, col, mode)
+                       for col, mode in zip(s_ext, ext_modes)]
 
-            def combine(a, b, cmb=cmb):
-                a_k, a_v = a
-                b_k, b_v = b
-                same = b_k == a_k
-                return b_k, jnp.where(same, cmb(a_v, b_v), b_v)
-            _, scanned = jax.lax.associative_scan(combine, (k2, col))
-            scanned_ext.append(scanned)
-
-        comp_ops = ((1 - end_flag.astype(jnp.int32)), k2, rows) \
-            + tuple(csums) + tuple(scanned_ext)
+        comp_ops = ((1 - end_flag.astype(jnp.int32),) + tuple(k2s)
+                    + (rows,) + tuple(csums) + tuple(scanned_ext))
         comp = jax.lax.sort(comp_ops, num_keys=1, is_stable=True)
-        ukeys = comp[1]
-        ends = comp[2]
+        ukeys = comp[1:1 + n_keys]
+        ends = comp[1 + n_keys]
+        base2 = 2 + n_keys
         prev_ends = jnp.concatenate([jnp.full(1, -1, jnp.int32), ends[:-1]])
         counts = jnp.where(rows < G_l, ends - prev_ends, 0)
         sums = []
         for a in range(n_add):
-            ce = comp[3 + a]
+            ce = comp[base2 + a]
             prev = jnp.concatenate([jnp.zeros(1, ce.dtype), ce[:-1]])
             sums.append(jnp.where(rows < G_l, ce - prev, 0))
-        exts = [comp[3 + n_add + e] for e in range(len(ext_modes))]
+        exts = [comp[base2 + n_add + e] for e in range(len(ext_modes))]
         psums = []
         if n_precise:
             seg = jnp.cumsum(end_any.astype(jnp.int32)) - end_any.astype(jnp.int32)
@@ -609,29 +630,31 @@ def _get_compiled_mesh(mesh, n, n_add, n_precise, ext_modes, cap,
                                      indices_are_sorted=True)
             psums = [ps[:, a] for a in range(n_precise)]
         pvals = _segment_percentiles(pct_spec, s_pct, ends, counts, sums)
-        return (ukeys, counts, *sums, *psums, *exts, *pvals,
+        return (*ukeys, counts, *sums, *psums, *exts, *pvals,
                 G_l.reshape(1), jax.lax.psum(overflow, axis).reshape(1))
 
     n_pvals = len(pct_spec[0]) if pct_spec is not None else 0
-    n_out_arrays = 2 + n_add + n_precise + len(ext_modes) + n_pvals
+    n_out_arrays = 1 + n_keys + n_add + n_precise + len(ext_modes) + n_pvals
     shard = _shard_map()
     fn = shard(local, mesh=mesh,
-               in_specs=(P(axis),) * (1 + n_pct_chan + n_add + n_precise
+               in_specs=(P(axis),) * (n_keys + n_pct_chan + n_add + n_precise
                                       + len(ext_modes)),
                out_specs=(P(axis),) * (n_out_arrays + 1) + (P(),),
                check_vma=False)
-    jitted = jax.jit(lambda f, pc, a, p, e: fn(f, *pc, *a, *p, *e))
+    jitted = jax.jit(lambda ks, pc, a, p, e: fn(*ks, *pc, *a, *p, *e))
 
-    def compute(fused, add_cols, precise_cols, ext_vals, pct_col=None):
+    def compute(key_ops, add_cols, precise_cols, ext_vals, pct_col=None):
         pc = (pct_col,) if n_pct_chan else ()
-        out = jitted(fused, pc, tuple(add_cols), tuple(precise_cols),
+        out = jitted(tuple(key_ops), pc, tuple(add_cols), tuple(precise_cols),
                      tuple(ext_vals))
-        ukeys, counts = out[0], out[1]
-        sums = list(out[2:2 + n_add])
-        psums = list(out[2 + n_add:2 + n_add + n_precise])
-        exts = list(out[2 + n_add + n_precise:
-                        2 + n_add + n_precise + len(ext_modes)])
-        pvals = list(out[2 + n_add + n_precise + len(ext_modes):n_out_arrays])
+        ukeys = tuple(out[:n_keys])
+        counts = out[n_keys]
+        o = n_keys + 1
+        sums = list(out[o:o + n_add])
+        psums = list(out[o + n_add:o + n_add + n_precise])
+        exts = list(out[o + n_add + n_precise:
+                        o + n_add + n_precise + len(ext_modes)])
+        pvals = list(out[o + n_add + n_precise + len(ext_modes):n_out_arrays])
         G_dev, dropped = out[n_out_arrays], out[n_out_arrays + 1]
         return ukeys, counts, sums, psums, exts, pvals, G_dev, dropped
 
@@ -639,32 +662,62 @@ def _get_compiled_mesh(mesh, n, n_add, n_precise, ext_modes, cap,
     return compute
 
 
-def _get_compiled(n, n_add, n_precise, ext_modes, pct_spec=None):
+def _seg_ends(skeys):
+    """end-of-segment flags from one or several sorted key columns
+    (multi-key: a segment ends where ANY key changes)."""
+    import jax.numpy as jnp
+    end = skeys[0][1:] != skeys[0][:-1]
+    for k in skeys[1:]:
+        end = end | (k[1:] != k[:-1])
+    return jnp.concatenate([end, jnp.ones(1, bool)])
+
+
+def _scan_extreme(skeys, col, mode):
+    """Segmented forward scan: the full-segment extreme lands at the
+    segment's last row; segment identity = equality of ALL key columns."""
+    import jax
+    import jax.numpy as jnp
+    cmb = jnp.minimum if mode == "min" else jnp.maximum
+
+    def combine(a, b):
+        a_keys, a_v = a[:-1], a[-1]
+        b_keys, b_v = b[:-1], b[-1]
+        same = a_keys[0] == b_keys[0]
+        for ak, bk in zip(a_keys[1:], b_keys[1:]):
+            same = same & (ak == bk)
+        return (*b_keys, jnp.where(same, cmb(a_v, b_v), b_v))
+    out = jax.lax.associative_scan(combine, (*skeys, col))
+    return out[-1]
+
+
+def _get_compiled(n, n_add, n_precise, ext_modes, pct_spec=None, n_keys=1):
     """One jitted program: carried sort + boundary compaction + segment
     reduces, returning fixed-capacity [n] outputs plus the observed count G
     (the only host-synced scalar).  With pct_spec=(pcts, valid_add_idx) the
-    value column rides as the SECOND sort key, so per-segment order
-    statistics are direct gathers (exact percentile, VERDICT r3 #6)."""
-    key = (n, n_add, n_precise, ext_modes, pct_spec)
+    value column rides as an EXTRA sort key, so per-segment order
+    statistics are direct gathers (exact percentile, VERDICT r3 #6).
+    n_keys > 1: the sort carries the raw key columns as its keys — the
+    unpacked multi-key mode for span products past int64."""
+    key = (n, n_add, n_precise, ext_modes, pct_spec, n_keys)
     if key in _FUSED_CACHE:
         return _FUSED_CACHE[key]
     import jax
     import jax.numpy as jnp
     from .ops import gridagg
 
-    def run(fused, add_cols, precise_cols, ext_vals, *maybe_pct):
+    def run(key_ops, add_cols, precise_cols, ext_vals, *maybe_pct):
         carry = list(add_cols) + list(precise_cols) + list(ext_vals)
-        nk = 2 if pct_spec is not None else 1
-        head = (fused,) + tuple(maybe_pct)
+        nk = n_keys + (1 if pct_spec is not None else 0)
+        head = tuple(key_ops) + tuple(maybe_pct)
         out = jax.lax.sort(head + tuple(carry), num_keys=nk)
-        skey = out[0]
-        s_pct = out[1] if pct_spec is not None else None
+        skeys = out[:n_keys]
+        s_pct = out[n_keys] if pct_spec is not None else None
         base = len(head)
         s_add = out[base:base + n_add]
         s_prec = out[base + n_add:base + n_add + n_precise]
         s_ext = out[base + n_add + n_precise:]
 
-        end_flag = jnp.concatenate([skey[1:] != skey[:-1], jnp.ones(1, bool)])
+        end_flag = _seg_ends(skeys)
         G = jnp.sum(end_flag.astype(jnp.int32))
         rows = jnp.arange(n, dtype=jnp.int32)
 
@@ -674,35 +727,28 @@ def _get_compiled(n, n_add, n_precise, ext_modes, pct_spec=None):
         csums = [jnp.cumsum(c) for c in s_add]
         # extremes: a segmented forward scan leaves the full-segment extreme
         # at the segment's last row
-        scanned_ext = []
-        for col, mode in zip(s_ext, ext_modes):
-            cmb = jnp.minimum if mode == "min" else jnp.maximum
-
-            def combine(a, b, cmb=cmb):
-                a_k, a_v = a
-                b_k, b_v = b
-                same = b_k == a_k
-                return b_k, jnp.where(same, cmb(a_v, b_v), b_v)
-            _, scanned = jax.lax.associative_scan(combine, (skey, col))
-            scanned_ext.append(scanned)
+        scanned_ext = [_scan_extreme(skeys, col, mode)
+                       for col, mode in zip(s_ext, ext_modes)]
 
         # compaction: ONE stable sort moves segment-end rows to the front in
         # order (measured 76 ms vs 477 ms for the scatter + blocked-prefix +
         # gather formulation it replaces) carrying keys, row ids, csums and
         # scanned extremes together
-        comp_ops = ((1 - end_flag.astype(jnp.int32)), skey, rows) + tuple(csums) + tuple(scanned_ext)
+        comp_ops = ((1 - end_flag.astype(jnp.int32),) + tuple(skeys)
+                    + (rows,) + tuple(csums) + tuple(scanned_ext))
         comp = jax.lax.sort(comp_ops, num_keys=1, is_stable=True)
-        ukeys = comp[1]
-        ends = comp[2]
+        ukeys = comp[1:1 + n_keys]
+        ends = comp[1 + n_keys]
+        base2 = 2 + n_keys
         prev_ends = jnp.concatenate([jnp.full(1, -1, jnp.int32), ends[:-1]])
         counts = jnp.where(rows < G, ends - prev_ends, 0)
 
         sums = []
         for a in range(n_add):
-            ce = comp[3 + a]
+            ce = comp[base2 + a]
             prev = jnp.concatenate([jnp.zeros(1, ce.dtype), ce[:-1]])
             sums.append(jnp.where(rows < G, ce - prev, 0))
-        exts = [comp[3 + n_add + e] for e in range(len(ext_modes))]
+        exts = [comp[base2 + n_add + e] for e in range(len(ext_modes))]
         psums = []
         if n_precise:
             seg = jnp.cumsum(end_flag.astype(jnp.int32)) - end_flag.astype(jnp.int32)
