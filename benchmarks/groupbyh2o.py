@@ -204,6 +204,12 @@ def cross_check(df, q, fn, out):
     os.environ["VAEX_TPU_FUSED_GROUPBY"] = "0"
     try:
         out2 = fn(df)
+    except ValueError as e:
+        # the classic path cannot express every fused-path shape (int64
+        # span-product overflow: only the unpacked multi-key sort runs it)
+        print(f"  {q} cross-check skipped: classic path unavailable ({e})",
+              flush=True)
+        return
     finally:
         os.environ["VAEX_TPU_FUSED_GROUPBY"] = "1"
     cols = out.get_column_names()

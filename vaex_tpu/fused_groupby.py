@@ -250,9 +250,19 @@ def _run(df, key_names, spans, plan, ascending, mesh=None, packed=True):
         key_ops = (fused,)
     else:
         # span product exceeds int64: the sort carries every raw key column
-        # as its own sort key (num_keys=k) — no packing, no overflow
+        # as its own sort key (num_keys=k) — no packing, no overflow.  Keys
+        # with a PROVEN i32 range narrow losslessly (sort operand bytes are
+        # the HBM bound at 1e8 rows x 6 keys); i32 max stays reserved as
+        # the mesh sentinel
         mults = None
-        key_ops = tuple(keys)
+
+        def _narrow(col, lo_span):
+            lo, span = lo_span
+            hi = lo + span - 1
+            if -(2 ** 31) <= lo and hi < 2 ** 31 - 1:
+                return col.astype(jnp.int32)
+            return col
+        key_ops = tuple(_narrow(c, s) for c, s in zip(keys, spans))
 
     # channels
     add_cols = []       # f64 columns summed by cumsum-diff
@@ -414,9 +424,10 @@ def _run(df, key_names, spans, plan, ascending, mesh=None, packed=True):
             ordin = (uk // m) % span + lo
             columns[name] = ordin.astype(jnp.int64)
     else:
-        # unpacked: the raw key columns rode both sorts — no decode
-        for name, uk in zip(key_names, ukeys):
-            columns[name] = uk[:G]
+        # unpacked: the raw key columns rode both sorts — no decode, only
+        # a widen back to the logical dtype where the sort ran narrowed
+        for name, uk, orig in zip(key_names, ukeys, keys):
+            columns[name] = uk[:G].astype(orig.dtype)
     for name, fin in builders:
         columns[name] = fin(env)
     if not ascending:
@@ -466,9 +477,9 @@ def _mesh_attempt(df, mesh, key_ops, add_cols, precise_cols, ext_vals,
     cap = max(64, (slack * n_local) // D)
 
     if pad:
-        big = jnp.iinfo(jnp.int64).max
-        key_ops = tuple(jnp.concatenate([k, jnp.full((pad,), big, jnp.int64)])
-                        for k in key_ops)
+        key_ops = tuple(jnp.concatenate(
+            [k, jnp.full((pad,), jnp.iinfo(k.dtype).max, k.dtype)])
+            for k in key_ops)
         add_cols = [jnp.concatenate([c, jnp.zeros(pad, c.dtype)]) for c in add_cols]
         precise_cols = [jnp.concatenate([c, jnp.zeros(pad, c.dtype)])
                         for c in precise_cols]
@@ -531,7 +542,6 @@ def _get_compiled_mesh(mesh, n, n_add, n_precise, ext_modes, cap,
     axis = mesh.axis_names[0]
     D = mesh.shape[axis]
     nl = n // D
-    SENT = jnp.iinfo(jnp.int64).max  # sorts after every real key
 
     n_pct_chan = 1 if pct_spec is not None else 0
 
@@ -540,12 +550,17 @@ def _get_compiled_mesh(mesh, n, n_add, n_precise, ext_modes, cap,
         chans = args[n_keys:]   # [pct_col?] + add + precise + ext
         # key-range ownership from the GLOBAL extent of the LEADING key
         # (psum'd min/max): groups share all keys, so partitioning on the
-        # first alone never splits a group across devices
+        # first alone never splits a group across devices.  The per-dtype
+        # max is the sentinel (sorts after every real key; the unpacked
+        # narrowing reserves it)
         k0 = keys_l[0]
+        SENT = jnp.iinfo(k0.dtype).max
         real = k0 < SENT
         kmin = jax.lax.pmin(jnp.min(jnp.where(real, k0, SENT)), axis)
-        kmax = jax.lax.pmax(jnp.max(jnp.where(real, k0, jnp.int64(-2**62))), axis)
-        rng_sz = jnp.maximum((kmax - kmin) // D + 1, 1)
+        kmax = jax.lax.pmax(jnp.max(jnp.where(
+            real, k0, jnp.iinfo(k0.dtype).min)), axis)
+        rng_sz = jnp.maximum((kmax.astype(jnp.int64)
+                              - kmin.astype(jnp.int64)) // D + 1, 1)
 
         # ONE carried sort by the key columns: owner order == key order
         sorted_out = jax.lax.sort(tuple(keys_l) + tuple(chans), num_keys=n_keys)
@@ -553,11 +568,11 @@ def _get_compiled_mesh(mesh, n, n_add, n_precise, ext_modes, cap,
         scarry = sorted_out[n_keys:]
         sk0 = skeys[0]
         sowner = jnp.where(sk0 >= SENT, D,
-                           jnp.clip((sk0 - kmin) // rng_sz, 0, D - 1)
-                           ).astype(jnp.int32)
+                           jnp.clip((sk0.astype(jnp.int64) - kmin) // rng_sz,
+                                    0, D - 1)).astype(jnp.int32)
         idx = jax.lax.broadcasted_iota(jnp.int32, (nl, 1), 0).squeeze(-1)
-        bounds = kmin + jnp.arange(D + 1, dtype=jnp.int64) * rng_sz
-        start = jnp.searchsorted(sk0, bounds)
+        bounds = kmin.astype(jnp.int64) + jnp.arange(D + 1, dtype=jnp.int64) * rng_sz
+        start = jnp.searchsorted(sk0.astype(jnp.int64), bounds)
         rank = idx - start[jnp.clip(sowner, 0, D - 1)].astype(jnp.int32)
         overflow = jnp.sum((rank >= cap) & (sowner < D))
         dest = jnp.where((sowner < D) & (rank < cap),
@@ -567,7 +582,7 @@ def _get_compiled_mesh(mesh, n, n_add, n_precise, ext_modes, cap,
             buf = jnp.full((D * cap,), fill, vals.dtype)
             return buf.at[dest].set(vals, mode="drop").reshape(D, cap)
 
-        send_keys = [pack(k, SENT) for k in skeys]
+        send_keys = [pack(k, jnp.iinfo(k.dtype).max) for k in skeys]
         send_carry = []
         for c, col in enumerate(scarry):
             if c < n_pct_chan:
