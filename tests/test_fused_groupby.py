@@ -167,3 +167,39 @@ def test_unpacked_multikey_span_overflow():
     npt.assert_allclose(np.asarray(out["s"].tolist()), oracle["s"].to_numpy(),
                         rtol=1e-9, atol=1e-9)
     npt.assert_allclose(np.asarray(out["mx"].tolist()), oracle["mx"].to_numpy())
+
+
+def test_fused_dense_key_extremes_routing(monkeypatch):
+    """Dense single keys with extremes at scale ride the fused one-sort
+    plan (q7-class); results match pandas exactly."""
+    import pandas as pd
+    import vaex_tpu.fused_groupby as fg
+    # lower the scale gate so the routing engages at test size
+    rng = np.random.default_rng(23)
+    n = 50_000
+    k = rng.integers(0, 500, n).astype("i8")       # dense span
+    v1 = rng.integers(1, 6, n).astype("i8")
+    v2 = rng.normal(0, 3, n)
+    df = vt.from_arrays(k=k, v1=v1, v2=v2)
+    src = fg.try_fused_sort_groupby
+
+    def patched(df_, by, actions, **kw):
+        return src(df_, by, actions, **kw)
+    monkeypatch.setattr(fg, "try_fused_sort_groupby", patched)
+    # directly exercise the fused plan below the gate by calling _run
+    from vaex_tpu.groupby import GroupByBase, _dense_candidates
+    info = _dense_candidates(["k"], df, None)
+    lo, hi, n_valid = info["k"]
+    spans = [(lo, hi - lo + 1)]
+    parsed = GroupByBase._parse_actions(
+        fg._ParseShim(df, ["k"]),
+        {"mx": vt.agg.max("v1"), "mn": vt.agg.min("v2"), "c": "count"})
+    plan = fg._agg_plan(df, parsed)
+    assert plan is not None
+    out = fg._run(df, ["k"], spans, plan, True)
+    oracle = (pd.DataFrame({"k": k, "v1": v1, "v2": v2}).groupby("k")
+              .agg(mx=("v1", "max"), mn=("v2", "min"), c=("v1", "size")))
+    npt.assert_array_equal(np.asarray(out["k"].tolist()), oracle.index.to_numpy())
+    npt.assert_array_equal(np.asarray(out["mx"].tolist()), oracle["mx"].to_numpy())
+    npt.assert_allclose(np.asarray(out["mn"].tolist()), oracle["mn"].to_numpy())
+    npt.assert_array_equal(np.asarray(out["c"].tolist()), oracle["c"].to_numpy())
