@@ -1,0 +1,298 @@
+"""Round-5 partition-kernel phase split (VERDICT r5 #1).
+
+Measures, at one production tile (N = 2^24 rows, G = 1e6 — the q3/q5/q7
+1e8-scale shape), where the partition strategy's time actually goes:
+
+  full      partitioned_additive_channels, q3 channel set (count + 2 sums)
+  p1        phase 1 only (relocation kernel)
+  p2        phase 2 only (per-bucket accumulation on a prebuilt buffer)
+  extfull   partition with 2 extreme columns (q7 shape: min+max+count)
+  lex       extreme_lex (current sort fallback), 2 columns = 2 carried sorts
+  lexpack   packed single-key i64 sort (cell<<32 | sortable-f32) — no carry
+  ends_compact  compaction-sort boundary extraction at N (i32 packed)
+  small_scatter 1e6-sized gather+scatter grid build (the lexpack epilogue)
+  bsort     batched [2048 x 8192] i32 sort + 2 f32 carried (radix slot cost)
+
+python benchmarks/kern_micro5.py [names...]
+"""
+
+import functools
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+sys.path.insert(0, "/root/repo")
+
+from vaex_tpu.ops import pallas_partition as pp
+from vaex_tpu.ops import gridagg
+
+N = 1 << 24
+G = 1_000_000
+
+
+def make_inputs(seed=0):
+    k1, k2, k3 = jax.random.split(jax.random.PRNGKey(seed), 3)
+    idx = jax.random.randint(k1, (N,), 0, G, dtype=jnp.int32)
+    v1 = jax.random.uniform(k2, (N,), dtype=jnp.float32)
+    v2 = jax.random.uniform(k3, (N,), dtype=jnp.float32)
+    return idx, v1, v2
+
+
+def _materialize(out):
+    return [np.asarray(o) for o in jax.tree_util.tree_leaves(out)]
+
+
+def timeit(fn, *args, reps=3):
+    _materialize(fn(*args))
+    best = None
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        _materialize(fn(*args))
+        dt = time.perf_counter() - t0
+        best = dt if best is None else min(best, dt)
+    print(f"  {best * 1e3:8.1f} ms   {N / best / 1e6:8.1f} M rows/s"
+          f"   {best * 1e9 / N:6.2f} ns/row", flush=True)
+    return best
+
+
+@jax.jit
+def full(idx, v1, v2):
+    ones = jnp.ones((N,), jnp.float32)
+    s, f, e, ovf = pp.partitioned_additive_channels(
+        idx, [ones], [(v1, None), (v2, None)], G)
+    return s[0, :8], f[:, :8], ovf
+
+
+def _phase1_setup(idx, channels, n_float_pairs):
+    """Mirror of partitioned_additive_channels's phase-1 preamble."""
+    n_static = 1
+    n_float = n_float_pairs
+    S, P, b1, B2 = pp.plan(G, n_static, n_float)
+    shift = int(np.log2(S))
+    Cp = 2 + n_static + 6 * n_float
+    C8 = pp._round_up(Cp, 8)
+    P_pad = pp._round_up(P, 8)
+    nb = -(-N // b1)
+    nb = pp._round_up(nb, B2)
+    n_pad = nb * b1 - N
+    drop = (P + 1) << shift
+
+    def pad(a, fill=0.0):
+        if n_pad == 0:
+            return a
+        return jnp.concatenate([a, jnp.full((n_pad,), fill, a.dtype)])
+
+    idx = jnp.where(idx >= G, drop, idx).astype(jnp.int32)
+    inputs = [pad(idx, drop)] + [pad(c) for c in channels]
+    while len(inputs) - 1 < C8 - 2:
+        pass
+    return inputs, (S, P, b1, B2, shift, C8, P_pad, nb)
+
+
+@jax.jit
+def p1(idx, v1, v2):
+    ones = jnp.ones((N,), jnp.float32)
+    chans = [ones]
+    for v in (v1, v2):
+        h1, h2, h3 = pp._split_bf16_exact(v)
+        chans += [h1, h2, h3, jnp.zeros_like(v), jnp.zeros_like(v),
+                  jnp.zeros_like(v)]
+    inputs, (S, P, b1, B2, shift, C8, P_pad, nb) = _phase1_setup(idx, chans, 2)
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+    kern1 = functools.partial(pp._phase1_kernel, P=P, shift=shift, b1=b1)
+    with jax.enable_x64(False):
+        bucketed, ovf = pl.pallas_call(
+            kern1,
+            grid=(nb,),
+            in_specs=[pl.BlockSpec((b1,), lambda b: (b,))] * len(inputs),
+            out_specs=[
+                pl.BlockSpec((P_pad, C8, pp.F), lambda b: (0, 0, b)),
+                pl.BlockSpec((8, 128), lambda b: (0, 0)),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((P_pad, C8, nb * pp.F), jnp.float32),
+                jax.ShapeDtypeStruct((8, 128), jnp.float32),
+            ],
+            compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 << 20),
+        )(*inputs)
+    return bucketed[0, 0, 0], ovf[0, 0]
+
+
+def _phase2_run(bucketed, geom):
+    S, P, b1, B2, shift, C8, P_pad, nb = geom
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+    n_static, n_float = 1, 2
+    nb2 = nb // B2
+    cs_pad = pp._round_up(1, 8)
+    af_pad = pp._round_up(n_float * pp._FLOAT_CHANNELS, 8)
+    two_level = S >= 4096
+    kern2 = functools.partial(pp._phase2_kernel, n_static=n_static,
+                              n_float=n_float, s_pad=S, ext_modes=(),
+                              two_level=two_level)
+    h_pad = S // 128
+    acc_dims = (h_pad, 128) if two_level else (S,)
+    nd = 2 + len(acc_dims)
+    out_specs = [pl.BlockSpec((1, cs_pad) + acc_dims, lambda p, c: (p, 0, 0, 0)[:nd]),
+                 pl.BlockSpec((1, cs_pad) + acc_dims, lambda p, c: (p, 0, 0, 0)[:nd]),
+                 pl.BlockSpec((1, af_pad) + acc_dims, lambda p, c: (p, 0, 0, 0)[:nd]),
+                 pl.BlockSpec((1, af_pad) + acc_dims, lambda p, c: (p, 0, 0, 0)[:nd])]
+    out_shape = [jax.ShapeDtypeStruct((P, cs_pad) + acc_dims, jnp.float32),
+                 jax.ShapeDtypeStruct((P, cs_pad) + acc_dims, jnp.float32),
+                 jax.ShapeDtypeStruct((P, af_pad) + acc_dims, jnp.float32),
+                 jax.ShapeDtypeStruct((P, af_pad) + acc_dims, jnp.float32)]
+    with jax.enable_x64(False):
+        outs = pl.pallas_call(
+            kern2,
+            grid=(P, nb2),
+            in_specs=[pl.BlockSpec((1, C8, B2 * pp.F), lambda p, c: (p, 0, c))],
+            out_specs=out_specs,
+            out_shape=out_shape,
+            compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 << 20),
+        )(bucketed)
+    return outs[0][0, 0, 0], outs[2][0, 0, 0]
+
+
+def p2(idx, v1, v2):
+    ones = jnp.ones((N,), jnp.float32)
+    chans = [ones]
+    for v in (v1, v2):
+        h1, h2, h3 = pp._split_bf16_exact(v)
+        chans += [h1, h2, h3, jnp.zeros_like(v), jnp.zeros_like(v),
+                  jnp.zeros_like(v)]
+
+    @jax.jit
+    def build(idx, chans):
+        inputs, geom = _phase1_setup(idx, chans, 2)
+        from jax.experimental import pallas as pl
+        from jax.experimental.pallas import tpu as pltpu
+        S, P, b1, B2, shift, C8, P_pad, nb = geom
+        kern1 = functools.partial(pp._phase1_kernel, P=P, shift=shift, b1=b1)
+        with jax.enable_x64(False):
+            bucketed, _ = pl.pallas_call(
+                kern1,
+                grid=(nb,),
+                in_specs=[pl.BlockSpec((b1,), lambda b: (b,))] * len(inputs),
+                out_specs=[
+                    pl.BlockSpec((P_pad, C8, pp.F), lambda b: (0, 0, b)),
+                    pl.BlockSpec((8, 128), lambda b: (0, 0)),
+                ],
+                out_shape=[
+                    jax.ShapeDtypeStruct((P_pad, C8, nb * pp.F), jnp.float32),
+                    jax.ShapeDtypeStruct((8, 128), jnp.float32),
+                ],
+                compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 << 20),
+            )(*inputs)
+        return bucketed
+
+    _, geom = _phase1_setup(idx, chans, 2)
+    bucketed = jax.block_until_ready(build(idx, chans))
+    run = jax.jit(functools.partial(_phase2_run, geom=geom))
+    _materialize(run(bucketed))
+    best = None
+    for _ in range(3):
+        t0 = time.perf_counter()
+        _materialize(run(bucketed))
+        dt = time.perf_counter() - t0
+        best = dt if best is None else min(best, dt)
+    print(f"  {best * 1e3:8.1f} ms   {N / best / 1e6:8.1f} M rows/s"
+          f"   {best * 1e9 / N:6.2f} ns/row", flush=True)
+    return None
+
+
+@jax.jit
+def extfull(idx, v1, v2):
+    ones = jnp.ones((N,), jnp.float32)
+    s, f, e, ovf = pp.partitioned_additive_channels(
+        idx, [ones], [], G, extreme_cols=[(v1, "max"), (v2, "min")],
+        validity=ones)
+    return s[0, :8], e[0][:8], ovf
+
+
+@jax.jit
+def lex(idx, v1, v2):
+    a = gridagg.extreme_lex(idx, v1, G, "max")
+    b = gridagg.extreme_lex(idx, v2, G, "min")
+    return a[:8], b[:8]
+
+
+def _f32_sortable(v):
+    u = jax.lax.bitcast_convert_type(v, jnp.uint32)
+    flip = jnp.where(u >> 31 != 0, jnp.uint32(0xFFFFFFFF), jnp.uint32(0x80000000))
+    return (u ^ flip).astype(jnp.int64)
+
+
+@jax.jit
+def lexpack(idx, v1, v2):
+    """min per cell via one packed single-key sort + compaction-sort ends."""
+    key = (idx.astype(jnp.int64) << 32) | _f32_sortable(v2)
+    skey = jax.lax.sort(key)
+    cell = (skey >> 32).astype(jnp.int32)
+    start_flag = jnp.concatenate([jnp.ones(1, bool), cell[1:] != cell[:-1]])
+    rows = jnp.arange(N, dtype=jnp.int32)
+    packed = jnp.where(start_flag, rows, jnp.int32(1) << 30) | 0
+    comp = jax.lax.sort(packed)
+    starts = comp[:G]
+    svals = skey[jnp.clip(starts, 0, N - 1)]
+    cells = (svals >> 32).astype(jnp.int32)
+    u = (svals & 0xFFFFFFFF).astype(jnp.uint32)
+    flip = jnp.where(u >> 31 != 0, jnp.uint32(0x80000000), jnp.uint32(0xFFFFFFFF))
+    vals = jax.lax.bitcast_convert_type(u ^ flip, jnp.float32)
+    grid = jnp.full((G,), jnp.inf, jnp.float32)
+    grid = grid.at[jnp.where(starts < N, cells, G)].set(vals, mode="drop")
+    return grid[:8]
+
+
+@jax.jit
+def ends_compact(idx, v1, v2):
+    skey = jax.lax.sort(idx)
+    start_flag = jnp.concatenate([jnp.ones(1, bool), skey[1:] != skey[:-1]])
+    rows = jnp.arange(N, dtype=jnp.int32)
+    packed = jnp.where(start_flag, rows, jnp.int32(1) << 30)
+    comp = jax.lax.sort(packed)
+    return comp[:8]
+
+
+@jax.jit
+def small_scatter(idx, v1, v2):
+    cells = idx[:G]
+    vals = v1[:G]
+    grid = jnp.full((G,), jnp.inf, jnp.float32).at[cells].min(vals)
+    return grid[:8]
+
+
+@jax.jit
+def bsort(idx, v1, v2):
+    P, cap = 2048, 8192
+    k2 = idx[: P * cap].reshape(P, cap)
+    a2 = v1[: P * cap].reshape(P, cap)
+    b2 = v2[: P * cap].reshape(P, cap)
+    sk, sa, sb = jax.lax.sort((k2, a2, b2), num_keys=1, dimension=-1)
+    return sk[0, :4], sa[0, :4], sb[0, :4]
+
+
+VARIANTS = {"full": full, "p1": p1, "p2": p2, "extfull": extfull,
+            "lex": lex, "lexpack": lexpack, "ends_compact": ends_compact,
+            "small_scatter": small_scatter, "bsort": bsort}
+
+
+def main():
+    names = sys.argv[1:] or list(VARIANTS)
+    idx, v1, v2 = make_inputs()
+    for name in names:
+        print(f"{name}:", flush=True)
+        try:
+            if name == "p2":
+                VARIANTS[name](idx, v1, v2)
+            else:
+                timeit(VARIANTS[name], idx, v1, v2)
+        except Exception as e:
+            print(f"  FAILED: {type(e).__name__}: {str(e)[:300]}", flush=True)
+
+
+if __name__ == "__main__":
+    main()

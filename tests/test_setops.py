@@ -181,3 +181,53 @@ def test_bytes_column_groupby_end_to_end():
     np.testing.assert_allclose(np.asarray(out["s"].tolist()),
                                oracle["s"].to_numpy(), rtol=1e-9)
     assert [bytes(v) for v in out["k"].tolist()] == list(oracle["k"])
+
+
+def test_dict_encoded_string_set_paths():
+    """Dictionary-encoded string chunks build/probe sets through the O(U)
+    integer path (setops._update_from_dict / _dict_ordinals) and agree with
+    the decoded-string path, including nulls and duplicate dict values."""
+    import pyarrow as pa
+    from vaex_tpu.ops.setops import SortedSet
+
+    d = pa.array(["b", "a", "c", "a"], type=pa.large_utf8())  # "a" repeated
+    idx = pa.array([0, 1, 2, 3, None, 0, 1], type=pa.int32())
+    darr = pa.DictionaryArray.from_arrays(idx, d)
+
+    s_dict = SortedSet("string", keep_counts=True)
+    s_dict.update(darr)
+    s_flat = SortedSet("string", keep_counts=True)
+    s_flat.update(darr.dictionary_decode())
+    assert list(s_dict.keys) == list(s_flat.keys)
+    assert list(s_dict.counts) == list(s_flat.counts)
+    assert s_dict.null_count == s_flat.null_count == 1
+    assert s_dict.map_ordinal(darr).tolist() == \
+        s_flat.map_ordinal(darr.dictionary_decode()).tolist()
+    assert s_dict.isin(darr).tolist() == \
+        s_flat.isin(darr.dictionary_decode()).tolist()
+
+    # probing with a set that covers only part of the dictionary
+    part = SortedSet("string")
+    part.update(pa.array(["a", "zz"], type=pa.large_utf8()))
+    assert part.map_ordinal(darr).tolist() == [-1, 0, -1, 0, -1, -1, 0]
+    assert part.isin(darr).tolist() == [False, True, False, True, False, False, True]
+
+
+def test_dict_encoded_string_groupby_end_to_end():
+    """A dictionary-encoded string column groups identically to its decoded
+    form (the 1e8 string-groupby host leg rides this path)."""
+    import pandas as pd
+    import pyarrow as pa
+    rng = np.random.default_rng(7)
+    codes = rng.integers(0, 40, 4000)
+    dictionary = pa.array([f"k{i:03d}" for i in range(40)], type=pa.large_utf8())
+    darr = pa.DictionaryArray.from_arrays(pa.array(codes, type=pa.int32()), dictionary)
+    x = rng.random(4000)
+    df = vt.from_dict({"k": darr, "x": x})
+    out = df.groupby("k", agg={"s": vt.agg.sum("x"), "c": "count"}, sort=True)
+    oracle = (pd.DataFrame({"k": [f"k{c:03d}" for c in codes], "x": x})
+              .groupby("k", as_index=False).agg(s=("x", "sum"), c=("x", "size")))
+    np.testing.assert_array_equal(np.asarray(out["c"].tolist()), oracle["c"].to_numpy())
+    np.testing.assert_allclose(np.asarray(out["s"].tolist()), oracle["s"].to_numpy(),
+                               rtol=1e-9)
+    assert [str(v) for v in out["k"].tolist()] == list(oracle["k"])

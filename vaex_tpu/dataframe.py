@@ -598,14 +598,48 @@ class DataFrame:
         dt = self.data_type(column)
         return DataType(dt).is_encoded
 
+    def _category_meta(self, column):
+        """Registered category metadata, lazily derived from the arrow
+        dictionary for physically dictionary-encoded columns that were never
+        explicitly ``categorize``d (e.g. a DictionaryArray passed to
+        from_dict)."""
+        column = str(column)
+        meta = self._categories.get(column)
+        if meta is not None:
+            return meta
+        col = None
+        try:
+            col = self.dataset[column]
+        except Exception:
+            pass
+        labels = None
+        if col is not None:
+            labels_arrow = getattr(col, "_labels_arrow", None)
+            if labels_arrow is not None:
+                labels = labels_arrow.to_pylist()
+            else:
+                try:
+                    import pyarrow as pa
+                    if isinstance(col, pa.ChunkedArray) and col.num_chunks:
+                        col = col.chunk(0)
+                    if isinstance(col, pa.Array) and pa.types.is_dictionary(col.type):
+                        labels = col.dictionary.to_pylist()
+                except ImportError:  # pragma: no cover
+                    pass
+        if labels is None:
+            raise KeyError(column)
+        meta = {"labels": labels, "N": len(labels), "min_value": 0}
+        self._categories[column] = meta
+        return meta
+
     def category_labels(self, column, aslist=True):
-        return self._categories[str(column)]["labels"]
+        return self._category_meta(column)["labels"]
 
     def category_count(self, column):
-        return self._categories[str(column)]["N"]
+        return self._category_meta(column)["N"]
 
     def category_offset(self, column):
-        return self._categories[str(column)]["min_value"]
+        return self._category_meta(column)["min_value"]
 
     # ------------------------------------------------------------ evaluation
     def _evaluate_host(self, expression, i1, i2):

@@ -436,6 +436,20 @@ class ExecutorLocal(Executor):
                     # device-resident column (df.to_device()): no host copy
                     tile[name] = (_pad(values, T), None)
                     continue
+                from .ops.setops import _as_dict_string_arrow
+                darr = _as_dict_string_arrow(values)
+                if darr is not None:
+                    # dictionary-encoded strings ship as their int32 codes
+                    # (device work on such columns is category binning; the
+                    # labels stay host-side in the category metadata)
+                    mask = (np.asarray(darr.is_null())
+                            if darr.null_count else None)
+                    data = np.asarray(darr.indices.fill_null(0)
+                                      if darr.null_count else darr.indices)
+                    data = data.astype(np.int32, copy=False)
+                    tile[name] = (_pad(data, T),
+                                  _pad(mask, T) if mask is not None else None)
+                    continue
                 data, mask = array_types.data_and_mask(values)
                 if data.dtype.kind in "Mm":
                     data = data.view(np.int64)

@@ -606,7 +606,19 @@ class TaskSetCreate(Task):
     def process(self, i1, i2, scope, row_valid=None):
         values = scope.evaluate_raw(self.expressions[0])
         from . import array_types
-        from .ops.setops import _as_string_arrow
+        from .ops.setops import _as_dict_string_arrow, _as_string_arrow
+        darr = _as_dict_string_arrow(values)
+        if darr is not None:
+            # dictionary-encoded strings: O(N) int bincount + cached O(U)
+            # dictionary work per chunk — never decode N strings
+            if row_valid is not None:
+                import pyarrow as pa
+                darr = darr.filter(pa.array(np.asarray(row_valid, bool)))
+            if self.set is None:
+                self.set = setops.SortedSet("string", keep_counts=self.keep_counts,
+                                            limit=self.limit)
+            self.set.update(darr)
+            return
         arrow = _as_string_arrow(values)
         if arrow is not None:
             # arrow-string chunks feed the set natively (no to_pylist blowup)
