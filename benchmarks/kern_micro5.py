@@ -87,8 +87,6 @@ def _phase1_setup(idx, channels, n_float_pairs):
 
     idx = jnp.where(idx >= G, drop, idx).astype(jnp.int32)
     inputs = [pad(idx, drop)] + [pad(c) for c in channels]
-    while len(inputs) - 1 < C8 - 2:
-        pass
     return inputs, (S, P, b1, B2, shift, C8, P_pad, nb)
 
 

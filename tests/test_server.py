@@ -1,6 +1,8 @@
 """Remote dataframe tests via in-process transport + a real tornado server
 (reference tests/common.py:63-145 webserver fixtures + dummy_client)."""
 
+import json
+
 import numpy as np
 import numpy.testing as npt
 import pytest
@@ -210,3 +212,123 @@ def test_progress_streaming_websocket():
     finally:
         loop_holder["loop"].add_callback(loop_holder["loop"].stop)
     assert fractions and fractions[-1] == 1.0
+
+
+def _drive_asgi_http(app, method, path, query="", body=None):
+    """Drive the ASGI app directly (no server; the image has no ASGI host).
+    Returns (status, parsed-json-or-text)."""
+    import asyncio
+    import json as _json
+
+    scope = {"type": "http", "method": method, "path": path,
+             "query_string": query.encode(), "headers": []}
+    incoming = [{"type": "http.request", "body": body or b"", "more_body": False}]
+    sent = []
+
+    async def receive():
+        return incoming.pop(0)
+
+    async def send(event):
+        sent.append(event)
+
+    asyncio.new_event_loop().run_until_complete(app(scope, receive, send))
+    status = sent[0]["status"]
+    raw = b"".join(e.get("body", b"") for e in sent[1:])
+    try:
+        return status, json.loads(raw)
+    except ValueError:
+        return status, raw.decode()
+
+
+def test_asgi_rest_parity():
+    """The ASGI (FastAPI-flavor) app answers the reference's REST surface
+    (fastapi.py:100-260): /dataset, /dataset/{id}, /histogram (GET+POST),
+    /heatmap, /openapi.json."""
+    from vaex_tpu.server.asgi import create_app
+
+    rng = np.random.default_rng(3)
+    x = rng.random(1000)
+    y = rng.random(1000)
+    df = vt.from_arrays(x=x, y=y)
+    app = create_app(Service({"test": df}))
+
+    status, names = _drive_asgi_http(app, "GET", "/dataset")
+    assert status == 200 and names == ["test"]
+
+    status, meta = _drive_asgi_http(app, "GET", "/dataset/test")
+    assert status == 200
+    assert meta["row_count"] == 1000 and set(meta["schema"]) == {"x", "y"}
+
+    status, h = _drive_asgi_http(app, "GET", "/histogram/test/x", "shape=16")
+    assert status == 200
+    assert len(h["values"]) == 16 and len(h["centers"]) == 16
+    # the row AT vmax lands in the (stripped) overflow edge bin — the
+    # reference's binning convention (superagg_binners.cpp:42-52)
+    assert sum(h["values"]) == 999
+
+    status, h2 = _drive_asgi_http(
+        app, "POST", "/histogram",
+        body=json.dumps({"dataset_id": "test", "expression": "x",
+                         "shape": 16}).encode())
+    assert status == 200 and h2["values"] == h["values"]
+
+    status, hm = _drive_asgi_http(app, "GET", "/heatmap/test/x/y",
+                                  "shape_x=8&shape_y=8")
+    assert status == 200
+    assert len(hm["values"]) == 8 and len(hm["values"][0]) == 8
+    assert sum(sum(r) for r in hm["values"]) >= 998  # max-edge rows overflow
+
+    status, schema = _drive_asgi_http(app, "GET", "/openapi.json")
+    assert status == 200
+    assert "/histogram/{dataset_id}/{expression}" in schema["paths"]
+
+    status, _ = _drive_asgi_http(app, "GET", "/dataset/nope")
+    assert status == 404
+
+
+def test_asgi_token_auth():
+    df = vt.from_arrays(x=np.arange(10.0))
+    from vaex_tpu.server.asgi import create_app
+    app = create_app(Service({"test": df}, token="secret"))
+    status, _ = _drive_asgi_http(app, "GET", "/dataset")
+    assert status == 401
+    status, names = _drive_asgi_http(app, "GET", "/dataset", "token=secret")
+    assert status == 200 and names == ["test"]
+
+
+def test_asgi_websocket_protocol():
+    """The /websocket endpoint speaks the same JSON protocol as the tornado
+    flavor (one request -> one reply tagged with msg_id)."""
+    import asyncio
+    from vaex_tpu.server.asgi import create_app
+
+    df = vt.from_arrays(x=np.arange(100.0))
+    app = create_app(Service({"test": df}))
+
+    incoming = [
+        {"type": "websocket.connect"},
+        {"type": "websocket.receive",
+         "text": json.dumps({"msg_id": "1", "command": "list"})},
+        {"type": "websocket.receive",
+         "text": json.dumps({"msg_id": "2", "command": "call", "df": "test",
+                             "method": "sum",
+                             "args": {"kind": "list", "items": [
+                                 {"kind": "json", "value": "x"}]}})},
+        {"type": "websocket.disconnect"},
+    ]
+    sent = []
+
+    async def receive():
+        return incoming.pop(0)
+
+    async def send(event):
+        sent.append(event)
+
+    scope = {"type": "websocket", "path": "/websocket", "headers": []}
+    asyncio.new_event_loop().run_until_complete(app(scope, receive, send))
+    assert sent[0]["type"] == "websocket.accept"
+    replies = [json.loads(e["text"]) for e in sent[1:]]
+    from vaex_tpu.server.service import decode_result
+    assert replies[0]["msg_id"] == "1"
+    assert "test" in decode_result(replies[0]["result"])
+    assert decode_result(replies[1]["result"]) == pytest.approx(np.arange(100.0).sum())

@@ -48,6 +48,7 @@ from . import array_types, settings  # noqa: E402,F401
 from .column import ColumnVirtualConstant, ColumnVirtualRange  # noqa: E402
 from .groupby import BinnerTime, Grouper, GrouperCategory, RowLimitException  # noqa: E402,F401
 from . import geo  # noqa: E402,F401  (registers the df.geo accessor)
+from . import astro  # noqa: E402,F401  (registers the df.astro accessor)
 from . import stat  # noqa: E402,F401
 from . import ml  # noqa: E402,F401  (registers the df.ml accessor)
 from . import viz  # noqa: E402,F401  (registers the df.viz accessor)
@@ -177,7 +178,11 @@ def open(path, convert=False, shuffle=False, fs_options=None, fs=None, *args, **
     elif ext == ".json":
         df = from_json(path)
     else:
-        raise IOError(f"cannot open {path!r}: unknown extension {ext!r}")
+        from .io.gadget import is_gadget, open_gadget
+        if is_gadget(path):  # gadget snapshots have no canonical extension
+            df = open_gadget(path)
+        else:
+            raise IOError(f"cannot open {path!r}: unknown extension {ext!r}")
     if convert and ext not in (".csv",):
         out = path + ".hdf5" if convert is True else str(convert)
         if not _os.path.exists(out):
