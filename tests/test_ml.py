@@ -275,3 +275,50 @@ def test_metrics_classification_and_regression():
     npt.assert_allclose(got, want, rtol=1e-9)
     report = df.ml.metrics.classification_report("y", "p")
     assert "Accuracy" in report and "F1" in report
+
+
+def test_river_model_streaming_regressor():
+    """Streaming mini-batch training through RiverModel (reference
+    incubator/river.py): chunked learn_many over the engine iterator, then
+    predictions as a virtual column."""
+    from vaex_tpu.ml import OnlineSGDRegressor, RiverModel
+    rng = np.random.default_rng(8)
+    n = 20_000
+    x1 = rng.normal(size=n)
+    x2 = rng.normal(size=n)
+    y = 3.0 * x1 - 2.0 * x2 + 0.5 + rng.normal(0, 0.01, n)
+    df = vt.from_arrays(x1=x1, x2=x2, y=y)
+    m = RiverModel(model=OnlineSGDRegressor(learning_rate=0.2),
+                   features=["x1", "x2"], target="y",
+                   batch_size=4096, num_epochs=8)
+    m.fit(df)
+    out = m.transform(df)
+    pred = np.asarray(out.evaluate("prediction"))
+    resid = np.abs(pred - y)
+    assert resid.mean() < 0.1, resid.mean()
+    # coefficients recovered
+    npt.assert_allclose(m.model.weights, [3.0, -2.0], atol=0.05)
+    npt.assert_allclose(m.model.intercept, 0.5, atol=0.05)
+
+
+def test_river_model_streaming_classifier():
+    from vaex_tpu.ml import OnlineSGDClassifier, RiverModel
+    rng = np.random.default_rng(9)
+    n = 20_000
+    x1 = rng.normal(size=n)
+    x2 = rng.normal(size=n)
+    y = (x1 - x2 > 0).astype("i8")
+    df = vt.from_arrays(x1=x1, x2=x2, y=y)
+    m = RiverModel(model=OnlineSGDClassifier(learning_rate=0.5),
+                   features=["x1", "x2"], target="y",
+                   batch_size=4096, num_epochs=6)
+    m.fit(df)
+    pred = m.predict(df)
+    acc = (pred == y).mean()
+    assert acc > 0.97, acc
+    # predict_proba virtual column flavor
+    m.prediction_type = "predict_proba"
+    out = m.transform(df)
+    proba = np.asarray(out.evaluate("prediction"))
+    assert proba.min() >= 0 and proba.max() <= 1
+    assert ((proba >= 0.5).astype("i8") == pred).all()

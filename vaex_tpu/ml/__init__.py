@@ -30,6 +30,8 @@ from . import sklearn  # noqa: F401
 from .sklearn import IncrementalPredictor, Predictor  # noqa: F401
 from . import cluster  # noqa: F401
 from .cluster import KMeans  # noqa: F401
+from . import river  # noqa: F401
+from .river import OnlineSGDClassifier, OnlineSGDRegressor, RiverModel  # noqa: F401
 from . import boosting  # noqa: F401
 from .boosting import (  # noqa: F401
     CatBoostModel,
