@@ -264,6 +264,66 @@ def small_scatter(idx, v1, v2):
 
 
 @jax.jit
+def extfast(idx, v1, v2):
+    """q7 shape on the new packed path: max(v1) + min(v2), f32 values."""
+    a = gridagg.extreme_fast(idx, v1, G, "max")
+    b = gridagg.extreme_fast(idx, v2, G, "min")
+    return a[:8], b[:8]
+
+
+@jax.jit
+def extlex2(idx, v1, v2):
+    """wide-value (f64) extremes: 2-key lex sort + compaction extraction."""
+    a = gridagg.extreme_lex2(idx, v1.astype(jnp.float64), G, "max")
+    return a[:8]
+
+
+def extcheck(idx, v1, v2):
+    """Oracle check of the packed/lex2 paths at small N (on-chip)."""
+    n = 1 << 18
+    i = np.asarray(idx[:n])
+    a = np.asarray(v1[:n])
+    g = 1 << 17
+    i = i % g
+    mx = np.full(g, -np.inf, np.float32)
+    np.maximum.at(mx, i, a)
+    out = np.asarray(jax.jit(lambda ii, aa: gridagg.extreme_packed(ii, aa, g, "max"))(
+        jnp.asarray(i), jnp.asarray(a)))
+    np.testing.assert_array_equal(out, mx)
+    mn = np.full(g, np.inf, np.float64)
+    np.minimum.at(mn, i, a.astype(np.float64))
+    out2 = np.asarray(jax.jit(lambda ii, aa: gridagg.extreme_lex2(ii, aa, g, "min"))(
+        jnp.asarray(i), jnp.asarray(a, dtype=jnp.float64)))
+    np.testing.assert_array_equal(out2, mn)
+    print("  extreme_packed/lex2 oracle: OK", flush=True)
+
+
+def fullcheck(idx, v1, v2):
+    """Oracle check of the (re-planned) partition kernel at small N."""
+    n = 1 << 20
+    g = 200_000
+    i = np.asarray(idx[:n]) % g
+    a = np.asarray(v1[:n]).astype(np.float64)
+    b = np.asarray(v2[:n]).astype(np.float64)
+    ones = jnp.ones((n,), jnp.float32)
+
+    @jax.jit
+    def run(ii, aa, bb):
+        return pp.partitioned_additive_channels(
+            ii, [ones], [(aa.astype(jnp.float32), None),
+                         (bb.astype(jnp.float32), None)], g)
+
+    s, f, e, ovf = run(jnp.asarray(i), jnp.asarray(a), jnp.asarray(b))
+    assert int(np.asarray(ovf)) == 0
+    cnt = np.bincount(i, minlength=g)
+    sa = np.bincount(i, weights=a.astype(np.float32).astype(np.float64),
+                     minlength=g)
+    np.testing.assert_array_equal(np.asarray(s[0]), cnt)
+    np.testing.assert_allclose(np.asarray(f[0]), sa, rtol=1e-9, atol=1e-9)
+    print("  partition re-plan oracle: OK", flush=True)
+
+
+@jax.jit
 def bsort(idx, v1, v2):
     P, cap = 2048, 8192
     k2 = idx[: P * cap].reshape(P, cap)
@@ -273,9 +333,115 @@ def bsort(idx, v1, v2):
     return sk[0, :4], sa[0, :4], sb[0, :4]
 
 
+@jax.jit
+def p1io(idx, v1, v2):
+    """Pure input-streaming cost of phase 1: same 15 x (b1,) blocked reads,
+    no compute — isolates the many-small-DMA hypothesis."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+    ones = jnp.ones((N,), jnp.float32)
+    chans = [ones]
+    for v in (v1, v2):
+        h1, h2, h3 = pp._split_bf16_exact(v)
+        chans += [h1, h2, h3, jnp.zeros_like(v), jnp.zeros_like(v),
+                  jnp.zeros_like(v)]
+    inputs, (S, P, b1, B2, shift, C8, P_pad, nb) = _phase1_setup(idx, chans, 2)
+
+    def kern(idx_ref, *refs):
+        out_ref = refs[-1]
+        b = pl.program_id(0)
+
+        @pl.when(b == 0)
+        def _():
+            out_ref[:] = jnp.zeros_like(out_ref)
+        acc = idx_ref[0].astype(jnp.float32)
+        for r in refs[:-1]:
+            acc = acc + r[0]
+        row0 = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0) == 0
+        col0 = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1) == 0
+        out_ref[:] += jnp.where(row0 & col0, acc, 0.0)
+
+    with jax.enable_x64(False):
+        out = pl.pallas_call(
+            kern,
+            grid=(nb,),
+            in_specs=[pl.BlockSpec((b1,), lambda b: (b,))] * len(inputs),
+            out_specs=pl.BlockSpec((8, 128), lambda b: (0, 0)),
+            out_shape=jax.ShapeDtypeStruct((8, 128), jnp.float32),
+            compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 << 20),
+        )(*inputs)
+    return out[0, 0]
+
+
+@jax.jit
+def p1pack(idx, v1, v2):
+    """Phase-1 input streaming with ONE packed [C, N] 2-D input (single
+    DMA per block) — the counterpart of p1io."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+    ones = jnp.ones((N,), jnp.float32)
+    chans = [ones]
+    for v in (v1, v2):
+        h1, h2, h3 = pp._split_bf16_exact(v)
+        chans += [h1, h2, h3, jnp.zeros_like(v), jnp.zeros_like(v),
+                  jnp.zeros_like(v)]
+    inputs, (S, P, b1, B2, shift, C8, P_pad, nb) = _phase1_setup(idx, chans, 2)
+    packed = jnp.stack([inputs[0].astype(jnp.float32)] + list(inputs[1:]),
+                       axis=0)  # [C, Npad]
+
+    def kern(p_ref, out_ref):
+        b = pl.program_id(0)
+
+        @pl.when(b == 0)
+        def _():
+            out_ref[:] = jnp.zeros_like(out_ref)
+        acc = jnp.sum(p_ref[:, 0:1])
+        row0 = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0) == 0
+        col0 = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1) == 0
+        out_ref[:] += jnp.where(row0 & col0, acc, 0.0)
+
+    with jax.enable_x64(False):
+        out = pl.pallas_call(
+            kern,
+            grid=(nb,),
+            in_specs=[pl.BlockSpec((packed.shape[0], b1), lambda b: (0, b))],
+            out_specs=pl.BlockSpec((8, 128), lambda b: (0, 0)),
+            out_shape=jax.ShapeDtypeStruct((8, 128), jnp.float32),
+            compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 << 20),
+        )(packed)
+    return out[0, 0]
+
+
+def _sweep_S(idx, v1, v2):
+    """full/p1/p2 at each forced S (plan sweep)."""
+    for S in (8192, 16384, 32768):
+        pp.PLAN_S_OVERRIDE = S
+        print(f"  S={S}:", flush=True)
+        # fresh jits: the plan is trace-time state, module-level jit caches
+        # would replay the first S for every later one
+        fns = {"full": jax.jit(full.__wrapped__), "p1": jax.jit(p1.__wrapped__),
+               "p2": p2}
+        for name in ("full", "p1", "p2"):
+            print(f"   {name}:", flush=True)
+            try:
+                if name == "p2":
+                    fns[name](idx, v1, v2)
+                else:
+                    timeit(fns[name], idx, v1, v2)
+            except Exception as e:
+                print(f"    FAILED: {type(e).__name__}: {str(e)[:200]}",
+                      flush=True)
+    pp.PLAN_S_OVERRIDE = None
+
+
 VARIANTS = {"full": full, "p1": p1, "p2": p2, "extfull": extfull,
             "lex": lex, "lexpack": lexpack, "ends_compact": ends_compact,
-            "small_scatter": small_scatter, "bsort": bsort}
+            "small_scatter": small_scatter, "bsort": bsort,
+            "extfast": extfast, "extlex2": extlex2,
+            "extcheck": extcheck, "fullcheck": fullcheck}
+VARIANTS["sweepS"] = _sweep_S
+VARIANTS["p1io"] = p1io
+VARIANTS["p1pack"] = p1pack
 
 
 def main():
@@ -284,7 +450,7 @@ def main():
     for name in names:
         print(f"{name}:", flush=True)
         try:
-            if name == "p2":
+            if name in ("p2", "extcheck", "fullcheck"):
                 VARIANTS[name](idx, v1, v2)
             else:
                 timeit(VARIANTS[name], idx, v1, v2)

@@ -521,6 +521,9 @@ def _mesh_attempt(df, mesh, key_ops, add_cols, precise_cols, ext_vals,
         log.append({"fused_mesh_groupby": True, "devices": int(D),
                     "rows": int(N), "groups": G, "exchanges": 1,
                     "set_build_passes": 0, "slack": slack,
+                    "rows_per_device": int(n_pad_total // D),
+                    "capacity_rows_per_device": int(capt),
+                    "row_bytes": int(row_bytes),
                     "alltoall_bytes_per_device": int(capt * row_bytes)})
     return ukeys, counts, sums, psums, exts, pvals, G
 

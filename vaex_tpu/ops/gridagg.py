@@ -304,6 +304,125 @@ def sorted_extreme(sorted_idx, sorted_cols, G, mode):
     return jnp.where((ends > starts)[:, None], vals, jnp.asarray(fill, sorted_cols.dtype))
 
 
+def _compact_starts(sorted_cell, G, want_starts):
+    """Row index of each observed segment's first (or last) row, in cell
+    order, via ONE i32 compaction sort — replaces both the G-probe
+    searchsorted (1.8 s at 1e7x1e7 on chip) and the N-sized scatter
+    (~150 ms at 1e7): the flagged rows sort to the front already ordered
+    by cell (rows are cell-sorted), measured 89 ms at 1.7e7 (kern_micro5
+    ends_compact).  Returns int32 rows, entries >= N for absent cells."""
+    import jax
+    N = sorted_cell.shape[0]
+    if want_starts:
+        flag = jnp.concatenate([jnp.ones(1, bool),
+                                sorted_cell[1:] != sorted_cell[:-1]])
+    else:
+        flag = jnp.concatenate([sorted_cell[1:] != sorted_cell[:-1],
+                                jnp.ones(1, bool)])
+    rows = jnp.arange(N, dtype=jnp.int32)
+    packed = jnp.where(flag, rows, jnp.int32(N))
+    return jax.lax.sort(packed)[:G]
+
+
+def _sortable32(col):
+    """Order-preserving map of a <=32-bit column into uint32-as-int64 low
+    bits, plus the inverse map — or (None, None) when the dtype needs more
+    than 32 bits (f64/i64/datetimes ride the 2-key lex variant)."""
+    dt = np.dtype(col.dtype)
+    if dt == np.float32:
+        def fwd(v):
+            import jax
+            u = jax.lax.bitcast_convert_type(v, jnp.uint32)
+            flip = jnp.where(u >> 31 != 0, jnp.uint32(0xFFFFFFFF),
+                             jnp.uint32(0x80000000))
+            return (u ^ flip).astype(jnp.int64)
+
+        def inv(bits):
+            import jax
+            u = bits.astype(jnp.uint32)
+            flip = jnp.where(u >> 31 != 0, jnp.uint32(0x80000000),
+                             jnp.uint32(0xFFFFFFFF))
+            return jax.lax.bitcast_convert_type(u ^ flip, jnp.float32)
+        return fwd, inv
+    if dt.kind == "i" and dt.itemsize <= 4:
+        def fwd(v):
+            return v.astype(jnp.int64) + (1 << 31)
+
+        def inv(bits):
+            return (bits - (1 << 31)).astype(dt)
+        return fwd, inv
+    if dt.kind in "ub" and dt.itemsize <= 4:
+        def fwd(v):
+            return v.astype(jnp.int64)
+
+        def inv(bits):
+            return bits.astype(dt)
+        return fwd, inv
+    return None, None
+
+
+def extreme_packed(idx, col, G, mode):
+    """Per-bin min/max via ONE packed single-key i64 sort.
+
+    The cell index rides the high 32 bits, the order-mapped value the low
+    32 (inverted for max so the winner is always the run's FIRST row); a
+    compaction sort extracts run starts and a G-sized scatter builds the
+    grid.  Measured 8.1 ns/row at G=1e6 vs 89 ns/row for the partition
+    kernel's masked flat reduce and 80 for the searchsorted lex path
+    (kern_micro5, N=2^24) — extremes carry no exactness caveat here: the
+    order map is a bijection.  Only for values that fit an order-preserving
+    32-bit map; callers fall back to :func:`extreme_lex2`."""
+    import jax
+    fwd, inv = _sortable32(col)
+    assert fwd is not None
+    N = idx.shape[0]
+    fill = min_identity(col.dtype) if mode == "min" else max_identity(col.dtype)
+    bits = fwd(col)
+    if mode == "max":
+        bits = 0xFFFFFFFF - bits
+    key = (idx.astype(jnp.int64) << 32) | bits
+    skey = jax.lax.sort(key)
+    cell32 = (skey >> 32).astype(jnp.int32)
+    starts = _compact_starts(cell32, G, want_starts=True)
+    svals = skey[jnp.clip(starts, 0, N - 1)]
+    cells = (svals >> 32).astype(jnp.int32)
+    bits_out = svals & 0xFFFFFFFF
+    if mode == "max":
+        bits_out = 0xFFFFFFFF - bits_out
+    vals = inv(bits_out)
+    cells = jnp.where(starts < N, cells, jnp.int32(G))  # absent cells drop
+    grid = jnp.full((G,), jnp.asarray(fill, col.dtype))
+    return grid.at[cells].set(vals, mode="drop")
+
+
+def extreme_lex2(idx, col, G, mode):
+    """Per-bin min/max for wide values (f64/i64/datetimes): a 2-key lex
+    sort carries the full value, compaction-sort boundary extraction (the
+    searchsorted G-probe of :func:`extreme_lex` measured 40 ns/row at
+    G=1e6; this is ~12)."""
+    import jax
+    N = idx.shape[0]
+    fill = min_identity(col.dtype) if mode == "min" else max_identity(col.dtype)
+    sorted_idx, sorted_col = jax.lax.sort((idx, col), num_keys=2,
+                                          is_stable=False)
+    pos = _compact_starts(sorted_idx, G, want_starts=(mode == "min"))
+    vals = sorted_col[jnp.clip(pos, 0, N - 1)]
+    cells = jnp.where(pos < N, sorted_idx[jnp.clip(pos, 0, N - 1)],
+                      jnp.asarray(G, sorted_idx.dtype))
+    cells = jnp.where(cells >= G, jnp.asarray(G, cells.dtype), cells)
+    grid = jnp.full((G,), jnp.asarray(fill, col.dtype))
+    return grid.at[cells.astype(jnp.int32)].set(vals, mode="drop")
+
+
+def extreme_fast(idx, col, G, mode):
+    """Route one extreme column to the packed single-key sort when the
+    value order-maps into 32 bits, else the 2-key lex sort."""
+    fwd, _ = _sortable32(col)
+    if fwd is not None:
+        return extreme_packed(idx, col, G, mode)
+    return extreme_lex2(idx, col, G, mode)
+
+
 def extreme_lex(idx, col, G, mode):
     """Per-bin min/max of ONE column via a single lexicographic sort.
 

@@ -72,21 +72,36 @@ def _phase1_kernel(idx_ref, *refs, P, shift, b1):
     bucket = jax.lax.shift_right_logical(idx, shift)   # high digit
     bucket = jnp.minimum(bucket, P)                    # invalid -> trash P
     bins = jax.lax.broadcasted_iota(jnp.int32, (b1, 128), 1)
-    onehot_b = (bucket[:, None] == bins).astype(jnp.float32)   # [B1, 128]
+    onehot_b8 = (bucket[:, None] == bins).astype(jnp.int8)     # [B1, 128]
+    onehot_b = onehot_b8.astype(jnp.float32)
 
-    # rank within the block's bucket run: exclusive per-bucket prefix via a
-    # log-step scan (VPU), then select each row's own lane
-    prefix = onehot_b
-    k = 1
-    while k < b1:
-        shifted = jnp.concatenate(
-            [jnp.zeros((k, 128), jnp.float32), prefix[:-k, :]], axis=0)
-        prefix = prefix + shifted
-        k *= 2
-    excl = prefix - onehot_b
+    # rank within the block's bucket run = exclusive per-bucket prefix.
+    # Sub-blocked int8 MXU matmuls with a strict-lower-triangular mask
+    # replace the log-step VPU shift-scan (12 x [B1,128] concat+add
+    # materializations measured ~6 ns/row of the 10 ns phase-1 total):
+    # int8 x int8 -> int32 accumulation is exact for counts <= B1, the
+    # int8 MXU is rate-equal to bf16 on this chip (RESULTS round 4), and
+    # SB=512 keeps the per-row MXU work at SB*128 = 65k MACs (~0.3 ns)
+    SB = min(512, b1)
+    nsb = b1 // SB
+    ri = jax.lax.broadcasted_iota(jnp.int32, (SB, SB), 0)
+    ci = jax.lax.broadcasted_iota(jnp.int32, (SB, SB), 1)
+    lower = (ci < ri).astype(jnp.int8)                         # [SB, SB]
+    parts = []
+    running = jnp.zeros((1, 128), jnp.int32)
+    for s in range(nsb):
+        sub = onehot_b8[s * SB:(s + 1) * SB, :]
+        excl_sub = jax.lax.dot_general(
+            lower, sub, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32)                  # [SB, 128]
+        parts.append(excl_sub + running)
+        running = running + jnp.sum(sub.astype(jnp.int32), axis=0,
+                                    keepdims=True)
+    excl_i = parts[0] if nsb == 1 else jnp.concatenate(parts, axis=0)
     # keep rank 2-D [B1, 1]: 1-D results of axis reductions carry offset
     # layouts that Mosaic cannot re-reduce ("Offset change")
-    rank = jnp.sum(onehot_b * excl, axis=1, keepdims=True).astype(jnp.int32)
+    rank = jnp.sum(jnp.where(onehot_b8 != 0, excl_i, 0),
+                   axis=1, keepdims=True)
     bucket2 = bucket[:, None]                          # [B1, 1]
 
     b = pl.program_id(0)
@@ -282,21 +297,63 @@ def _phase2_kernel(data_ref, acc_s_ref, err_s_ref, acc_f_ref, err_f_ref,
                 ext_ref[0, :, e:e + 1] = jnp.maximum(ext_ref[0, :, e:e + 1], red)
 
 
+# measured per-element/per-MAC costs on v5e (kern_micro5, round 5):
+# one-hot build / masked select ~0.62 ps per output element; bf16 MXU
+# ~5.1e-6 ns per MAC (197 T MACs/s)
+_CV = 0.62e-3   # ns per VPU one-hot element
+_CM = 5.1e-6    # ns per bf16 MAC
+
+
+# test/bench hook: force a specific S (micro-benchmarks sweep it)
+PLAN_S_OVERRIDE = None
+
+
 def plan(G, n_static, n_float):
-    """(S, P, B1, B2) for a grid of G cells, or None when out of range."""
+    """(S, P, B1, B2) for a grid of G cells, or None when out of range.
+
+    Round-5 redesign: S is chosen by a cost model instead of minimally.
+    Phase-1's relocation one-hot costs P_pad*F elements PER ROW (the
+    dominant term at G=1e6: width 16384 measured 10.2 ns/row), so FEWER,
+    BIGGER buckets with a smaller row block B1 cut it directly; the price
+    is phase-2 hi-digit/MXU work growing with S.  The model uses the
+    measured constants above; at G=1e6 it moves S 8192 -> 32768
+    (width 16384 -> 4096, slack 3.84 -> 1.94)."""
     if G <= 8192:
         return None  # the flat/two-level kernels already win there
-    S = 1024
-    while -(-G // S) > P_MAX:
-        S <<= 1
-    if S > 8192:
-        return None  # per-bucket one-hot would not fit VMEM: sort path
-    P = -(-G // S)
-    B1 = 4096
-    while B1 > 512 and B1 // P > RUN_HEADROOM:
-        B1 //= 2
-    # phase-2 one-hot VMEM: s_pad * (B2*F) * 2B <= ~24MB
-    B2 = max(1, min(32, (24 << 20) // (S * F * 2)))
+    C2 = n_static + _FLOAT_CHANNELS * n_float
+    best = None
+    candidates = ((PLAN_S_OVERRIDE,) if PLAN_S_OVERRIDE
+                  else (1024, 2048, 4096, 8192, 16384, 32768))
+    for S in candidates:
+        P = -(-G // S)
+        if P > P_MAX:
+            continue
+        P_pad = _round_up(P, 8)
+        B1 = 4096
+        while B1 > 512 and B1 // P > RUN_HEADROOM:
+            B1 //= 2
+        if B1 // P > RUN_HEADROOM:
+            continue  # even 512-row blocks would overflow F=128 runs
+        slack = P * F / B1
+        width = P_pad * F
+        # per-slot phase-2 work: hi one-hot (S/128) + lo one-hot (128) +
+        # rhs channel build (C2*128) + accumulate epilogue (~500), plus
+        # the two-level dot's S*C2 MACs
+        vpu_slot = (S // 128 + 128 + C2 * 128 + 500) if S >= 4096 else (S + 500)
+        mxu_slot = S * C2
+        cost = width * _CV + slack * (vpu_slot * _CV + mxu_slot * _CM)
+        if best is None or cost < best[0]:
+            best = (cost, S, P, B1)
+    if best is None:
+        return None  # beyond P_MAX at every S: sort path
+    _, S, P, B1 = best
+    if S >= 4096:
+        # two-level phase 2: the rhs [C2*128, B2*F] bf16 block is the big
+        # VMEM tensor
+        B2 = max(1, min(32, (24 << 20) // (max(C2, 1) * 128 * F * 2)))
+    else:
+        # flat phase 2 materializes the [S, B2*F] one-hot
+        B2 = max(1, min(32, (24 << 20) // (S * F * 2)))
     return S, P, B1, B2
 
 
@@ -325,6 +382,20 @@ def partitioned_additive_channels(idx, static_channels, float_pairs, G,
     n_ext = len(extreme_cols)
     ext_modes = tuple(m for _, m in extreme_cols)
     S, P, b1, B2 = plan(G, n_static, n_float)
+    if n_ext:
+        # extremes run the flat [S, R] masked reduce (no two-level form):
+        # cap S and size B2 for the flat one-hot so VMEM stays sane.  The
+        # engine no longer routes extremes here (gridagg.extreme_fast,
+        # round 5); this keeps the direct API usable.
+        if S > 8192:
+            S = 8192
+            P = -(-G // S)
+            if P > P_MAX:
+                raise ValueError("grid too large for the extremes-capable plan")
+            b1 = 4096
+            while b1 > 512 and b1 // P > RUN_HEADROOM:
+                b1 //= 2
+        B2 = max(1, min(32, (24 << 20) // (S * F * 2)))
     shift = int(np.log2(S))
     Cp = 2 + n_static + 6 * n_float + ((1 + 3 * n_ext) if n_ext else 0)
     C8 = _round_up(Cp, 8)

@@ -257,10 +257,11 @@ class TaskAggregations(Task):
         # paths' exact per-segment sums instead
         kernel_additive = [i for i in additive
                            if not getattr(self.subtasks[i], "precise_additive", False)]
-        ext_candidates = [i for i, op in enumerate(self.subtasks)
-                          if getattr(op, "extreme_mode", None)
-                          and hasattr(op, "partition_extreme_column")
-                          and not done[i]]
+        # extremes no longer ride the partition kernel: its masked flat
+        # [S, R] reduce measured 89 ns/row at G=1e6 vs 8-12 for the packed
+        # single-key sort (kern_micro5, round 5) — they route to
+        # gridagg.extreme_fast below
+        ext_candidates = []
         # unlike dense-rank, the partition kernel has no every-bin-observed
         # invariant: it runs fine on a PER-SHARD basis under shard_map (the
         # overflow slot merges by psum)
@@ -439,11 +440,13 @@ class TaskAggregations(Task):
                         new_state[i] = self.subtasks[i].apply_extreme(state[i], grids[:, k])
                         done[i] = True
             else:
-                # one lex sort per column: the carried sort beats the shared
-                # argsort + gathers + associative scan by ~6x on TPU
+                # one packed single-key sort per column (2-key lex for wide
+                # values), compaction-sort boundary extraction — 8-12 ns/row
+                # at G=1e6 vs 80 for the searchsorted lex sort and 89 for
+                # the partition masked reduce (kern_micro5, round 5)
                 for i in group:
                     col = self.subtasks[i].extreme_column(ctx)
-                    grid_col = gridagg.extreme_lex(flat_of(), col, G, mode)
+                    grid_col = gridagg.extreme_fast(flat_of(), col, G, mode)
                     new_state[i] = self.subtasks[i].apply_extreme(state[i], grid_col)
                     done[i] = True
 
