@@ -395,10 +395,21 @@ def _run(df, key_names, spans, plan, ascending, mesh=None, packed=True):
             return None
         ukeys, counts, sums, psums, exts, pvals, G = out
     else:
-        compute = _get_compiled(key_ops[0].shape[0], len(add_cols),
+        n_rows = key_ops[0].shape[0]
+        # HBM accounting: the carried compaction roughly quintuples the
+        # sorted-operand bytes (sort in+out, cumsums, comp in+out); shapes
+        # past ~60% of a 16 GB chip take the lean (gather-boundary) variant
+        op_bytes = sum(np.dtype(k.dtype).itemsize for k in key_ops)
+        op_bytes += sum(np.dtype(c.dtype).itemsize
+                        for c in list(add_cols) + list(precise_cols)
+                        + [c for c, _ in ext_cols])
+        lean = (n_rows * op_bytes * 5 > 9_600_000_000
+                and n_rows < (1 << 30))  # bit 30 carries the end flag
+        compute = _get_compiled(n_rows, len(add_cols),
                                 len(precise_cols),
                                 tuple(m for _, m in ext_cols),
-                                pct_spec=pct_spec, n_keys=len(key_ops))
+                                pct_spec=pct_spec, n_keys=len(key_ops),
+                                lean=lean)
         args = [key_ops, add_cols, precise_cols, [c for c, _ in ext_cols]]
         if pct_spec is not None:
             args.append(pct_col[0])
@@ -708,15 +719,25 @@ def _scan_extreme(skeys, col, mode):
     return out[-1]
 
 
-def _get_compiled(n, n_add, n_precise, ext_modes, pct_spec=None, n_keys=1):
+def _get_compiled(n, n_add, n_precise, ext_modes, pct_spec=None, n_keys=1,
+                  lean=False):
     """One jitted program: carried sort + boundary compaction + segment
     reduces, returning fixed-capacity [n] outputs plus the observed count G
     (the only host-synced scalar).  With pct_spec=(pcts, valid_add_idx) the
     value column rides as an EXTRA sort key, so per-segment order
     statistics are direct gathers (exact percentile, VERDICT r3 #6).
     n_keys > 1: the sort carries the raw key columns as its keys — the
-    unpacked multi-key mode for span products past int64."""
-    key = (n, n_add, n_precise, ext_modes, pct_spec, n_keys)
+    unpacked multi-key mode for span products past int64.
+
+    ``lean``: the HBM-bounded variant for shapes whose carried compaction
+    would not fit one chip (1e8 x 6-key q10 peaked ~15 GB of 16, round 4).
+    The compaction sort shrinks to ONE i32 operand (end-flag folded into
+    the row id's bit 30 — ends sort first, ordered by row, no stability
+    needed) and keys/cumsums/extremes are recovered by boundary GATHERS at
+    the compacted end rows.  Gathers cost ~0.1 s per column at 1e8 (round-3
+    measurement) — slower than carrying, so only the over-memory shapes
+    take this route."""
+    key = (n, n_add, n_precise, ext_modes, pct_spec, n_keys, lean)
     if key in _FUSED_CACHE:
         return _FUSED_CACHE[key]
     import jax
@@ -748,25 +769,42 @@ def _get_compiled(n, n_add, n_precise, ext_modes, pct_spec=None, n_keys=1):
         scanned_ext = [_scan_extreme(skeys, col, mode)
                        for col, mode in zip(s_ext, ext_modes)]
 
-        # compaction: ONE stable sort moves segment-end rows to the front in
-        # order (measured 76 ms vs 477 ms for the scatter + blocked-prefix +
-        # gather formulation it replaces) carrying keys, row ids, csums and
-        # scanned extremes together
-        comp_ops = ((1 - end_flag.astype(jnp.int32),) + tuple(skeys)
-                    + (rows,) + tuple(csums) + tuple(scanned_ext))
-        comp = jax.lax.sort(comp_ops, num_keys=1, is_stable=True)
-        ukeys = comp[1:1 + n_keys]
-        ends = comp[1 + n_keys]
-        base2 = 2 + n_keys
-        prev_ends = jnp.concatenate([jnp.full(1, -1, jnp.int32), ends[:-1]])
-        counts = jnp.where(rows < G, ends - prev_ends, 0)
-
-        sums = []
-        for a in range(n_add):
-            ce = comp[base2 + a]
-            prev = jnp.concatenate([jnp.zeros(1, ce.dtype), ce[:-1]])
-            sums.append(jnp.where(rows < G, ce - prev, 0))
-        exts = [comp[base2 + n_add + e] for e in range(len(ext_modes))]
+        if lean:
+            # ends first (bit 30 clear), ordered by row; everything else
+            # recovered by gathers at the compacted boundary rows
+            packed = jnp.where(end_flag, rows, rows | jnp.int32(1 << 30))
+            ends = jax.lax.sort(packed) & jnp.int32((1 << 30) - 1)
+            safe = jnp.clip(ends, 0, n - 1)
+            ukeys = [sk[safe] for sk in skeys]
+            prev_ends = jnp.concatenate([jnp.full(1, -1, jnp.int32), ends[:-1]])
+            counts = jnp.where(rows < G, ends - prev_ends, 0)
+            prev_safe = jnp.clip(prev_ends, 0, n - 1)
+            sums = []
+            for ce_full in csums:
+                upper = ce_full[safe]
+                lower = jnp.where(prev_ends >= 0, ce_full[prev_safe],
+                                  jnp.zeros((), ce_full.dtype))
+                sums.append(jnp.where(rows < G, upper - lower, 0))
+            exts = [se[safe] for se in scanned_ext]
+        else:
+            # compaction: ONE stable sort moves segment-end rows to the
+            # front in order (measured 76 ms vs 477 ms for the scatter +
+            # blocked-prefix + gather formulation it replaces) carrying
+            # keys, row ids, csums and scanned extremes together
+            comp_ops = ((1 - end_flag.astype(jnp.int32),) + tuple(skeys)
+                        + (rows,) + tuple(csums) + tuple(scanned_ext))
+            comp = jax.lax.sort(comp_ops, num_keys=1, is_stable=True)
+            ukeys = comp[1:1 + n_keys]
+            ends = comp[1 + n_keys]
+            base2 = 2 + n_keys
+            prev_ends = jnp.concatenate([jnp.full(1, -1, jnp.int32), ends[:-1]])
+            counts = jnp.where(rows < G, ends - prev_ends, 0)
+            sums = []
+            for a in range(n_add):
+                ce = comp[base2 + a]
+                prev = jnp.concatenate([jnp.zeros(1, ce.dtype), ce[:-1]])
+                sums.append(jnp.where(rows < G, ce - prev, 0))
+            exts = [comp[base2 + n_add + e] for e in range(len(ext_modes))]
         psums = []
         if n_precise:
             seg = jnp.cumsum(end_flag.astype(jnp.int32)) - end_flag.astype(jnp.int32)
