@@ -507,6 +507,104 @@ def p1w(idx, v1, v2):
     return bucketed[0, 0, 0], ovf[0, 0]
 
 
+@jax.jit
+def p1nt(idx, v1, v2):
+    """Phase-1 with a CONTIGUOUS per-block write and no in-VMEM transpose:
+    isolates the strided [P_pad, C8, F]-at-lane-offset write + transpose
+    cost of the production kernel."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+    ones = jnp.ones((N,), jnp.float32)
+    chans = [ones]
+    for v in (v1, v2):
+        h1, h2, h3 = pp._split_bf16_exact(v)
+        chans += [h1, h2, h3, jnp.zeros_like(v), jnp.zeros_like(v),
+                  jnp.zeros_like(v)]
+    inputs, (S, P, b1, B2, shift, C8, P_pad, nb) = _phase1_setup(idx, chans, 2)
+
+    def kern(idx_ref, *refs, P=P, shift=shift, b1=b1):
+        out_ref, ovf_ref = refs[-2:]
+        payload_refs = refs[:-2]
+        idx = idx_ref[:]
+        bucket = jax.lax.shift_right_logical(idx, shift)
+        bucket = jnp.minimum(bucket, P)
+        bins = jax.lax.broadcasted_iota(jnp.int32, (b1, 128), 1)
+        onehot_b8 = (bucket[:, None] == bins).astype(jnp.int8)
+        SB = min(512, b1)
+        nsb = b1 // SB
+        ri = jax.lax.broadcasted_iota(jnp.int32, (SB, SB), 0)
+        ci = jax.lax.broadcasted_iota(jnp.int32, (SB, SB), 1)
+        lower = (ci < ri).astype(jnp.int8)
+        parts = []
+        running = jnp.zeros((1, 128), jnp.int32)
+        for s in range(nsb):
+            sub = onehot_b8[s * SB:(s + 1) * SB, :]
+            excl_sub = jax.lax.dot_general(
+                lower, sub, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32)
+            parts.append(excl_sub + running)
+            running = running + jnp.sum(sub.astype(jnp.int32), axis=0,
+                                        keepdims=True)
+        excl_i = parts[0] if nsb == 1 else jnp.concatenate(parts, axis=0)
+        rank = jnp.sum(jnp.where(onehot_b8 != 0, excl_i, 0),
+                       axis=1, keepdims=True)
+        bucket2 = bucket[:, None]
+        b = pl.program_id(0)
+
+        @pl.when(b == 0)
+        def _():
+            ovf_ref[:] = jnp.zeros_like(ovf_ref)
+        cnt = jnp.sum(((rank >= pp.F) & (bucket2 < P)).astype(jnp.float32))
+        row0 = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0) == 0
+        col0 = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1) == 0
+        ovf_ref[:] += jnp.where(row0 & col0, cnt, 0.0)
+        dest = jnp.where((bucket2 < P) & (rank < pp.F),
+                         bucket2 * pp.F + rank, P * pp.F)
+        idx_lo = idx - jax.lax.shift_left(bucket, shift)
+        lo8 = (idx_lo & 255).astype(jnp.float32)
+        hi8 = jax.lax.shift_right_logical(idx_lo, 8).astype(jnp.float32)
+        cols = [hi8, lo8] + [r[:] for r in payload_refs]
+        c8 = out_ref.shape[1]
+        while len(cols) < c8:
+            cols.append(jnp.zeros((b1,), jnp.float32))
+        V = jnp.stack(cols, axis=0).astype(jnp.bfloat16)
+        p_pad = out_ref.shape[0]
+        CHUNK = 26 * pp.F
+        width = p_pad * pp.F
+        pieces = []
+        for w0 in range(0, width, CHUNK):
+            w = min(CHUNK, width - w0)
+            bins_d = jax.lax.broadcasted_iota(jnp.int32, (b1, w), 1) + w0
+            onehot_d = (dest == bins_d).astype(jnp.bfloat16)
+            piece = jax.lax.dot_general(
+                V, onehot_d, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.DEFAULT)
+            pieces.append(piece)
+        outT = pieces[0] if len(pieces) == 1 else jnp.concatenate(pieces, axis=1)
+        for p_i in range(p_pad):
+            out_ref[p_i] = outT[:, p_i * pp.F:(p_i + 1) * pp.F]
+
+    with jax.enable_x64(False):
+        bucketed, ovf = pl.pallas_call(
+            kern,
+            grid=(nb,),
+            in_specs=[pl.BlockSpec((b1,), lambda b: (b,))] * len(inputs),
+            out_specs=[
+                pl.BlockSpec((P_pad, C8, pp.F), lambda b: (0, 0, b)),
+                pl.BlockSpec((8, 128), lambda b: (0, 0)),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((P_pad, C8, nb * pp.F), jnp.float32),
+                jax.ShapeDtypeStruct((8, 128), jnp.float32),
+            ],
+            compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 << 20),
+        )(*inputs)
+    return bucketed[0, 0, 0], ovf[0, 0]
+
+
+
+
 def _sweep_S(idx, v1, v2):
     """full/p1/p2 at each forced S (plan sweep)."""
     for S in (8192, 16384, 32768):
@@ -537,6 +635,7 @@ VARIANTS = {"full": full, "p1": p1, "p2": p2, "extfull": extfull,
 VARIANTS["sweepS"] = _sweep_S
 VARIANTS["p1io"] = p1io
 VARIANTS["p1w"] = p1w
+VARIANTS["p1nt"] = p1nt
 VARIANTS["p1pack"] = p1pack
 
 

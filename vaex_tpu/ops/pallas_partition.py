@@ -145,9 +145,12 @@ def _phase1_kernel(idx_ref, *refs, P, shift, b1):
     # write DIRECTLY in phase 2's layout [P_pad, C8, F] (block b owns lane
     # slice [b*F, (b+1)*F) of the [P_pad, C8, nb*F] array): an in-VMEM
     # rearrange here replaces an XLA transpose of the whole 1GB+ buffer
-    # between the phases (measured 53s — 400x the kernel itself)
-    c8 = outT.shape[0]
-    out_ref[:] = outT.reshape(c8, p_pad, F).transpose(1, 0, 2)
+    # between the phases (measured 53s — 400x the kernel itself).
+    # Per-bucket LANE-SLICE writes instead of a reshape+transpose: the
+    # [C8, p_pad, F] -> [p_pad, C8, F] sublane relayout measured 4.2 ns/row
+    # — 40% of the whole phase (kern_micro5 p1 10.1 vs p1nt 5.9, round 5)
+    for p_i in range(p_pad):
+        out_ref[p_i] = outT[:, p_i * F:(p_i + 1) * F]
 
 
 def _phase2_kernel(data_ref, acc_s_ref, err_s_ref, acc_f_ref, err_f_ref,
@@ -335,13 +338,17 @@ def plan(G, n_static, n_float):
         if B1 // P > RUN_HEADROOM:
             continue  # even 512-row blocks would overflow F=128 runs
         slack = P * F / B1
-        width = P_pad * F
-        # per-slot phase-2 work: hi one-hot (S/128) + lo one-hot (128) +
-        # rhs channel build (C2*128) + accumulate epilogue (~500), plus
-        # the two-level dot's S*C2 MACs
+        # phase 1 measured FLAT across a 4x relocation-width change
+        # (kern_micro5 sweep: 10.1 -> 10.1 ns/row; ~5.9 after the
+        # transpose fix) — so the model weighs only phase 2's per-slot
+        # work: hi one-hot (S/128) + lo one-hot (128) + rhs channel build
+        # (C2*128) + accumulate epilogue (~500), plus the two-level dot's
+        # S*C2 MACs, all multiplied by the relocation slack.  Measured at
+        # G=1e6/C2=11: S=8192 7.8, S=16384 6.9, S=32768 10.4 ns/row —
+        # the model reproduces that ordering
         vpu_slot = (S // 128 + 128 + C2 * 128 + 500) if S >= 4096 else (S + 500)
         mxu_slot = S * C2
-        cost = width * _CV + slack * (vpu_slot * _CV + mxu_slot * _CM)
+        cost = slack * (vpu_slot * _CV + mxu_slot * _CM)
         if best is None or cost < best[0]:
             best = (cost, S, P, B1)
     if best is None:
