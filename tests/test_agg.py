@@ -362,3 +362,35 @@ def test_wire_narrowing_f32_exact_values():
                             oracle["se"].to_numpy(), rtol=1e-9)
         npt.assert_allclose(np.asarray(out["sl"].tolist()),
                             oracle["sl"].to_numpy(), rtol=1e-9)
+
+
+def test_extreme_fast_dtype_coverage():
+    """extreme_packed (f32/ints<=32bit, exact order-map bijection) and
+    extreme_lex2 (f64/i64 wide values) against numpy oracles at G>512
+    (the high-G sort route, round 5)."""
+    import jax
+    import jax.numpy as jnp
+    from vaex_tpu.ops import gridagg
+
+    rng = np.random.default_rng(2)
+    n, g = 20_000, 700
+    idx = jnp.asarray(rng.integers(0, g, n).astype(np.int32))
+    idx_np = np.asarray(idx)
+
+    cases = [
+        rng.normal(0, 100, n).astype(np.float32),
+        rng.integers(-(2**31), 2**31, n).astype(np.int32),
+        rng.integers(-30000, 30000, n).astype(np.int16),
+        rng.integers(0, 250, n).astype(np.uint8),
+        rng.normal(0, 100, n),                      # f64 -> lex2
+        rng.integers(-(2**60), 2**60, n),           # i64 -> lex2
+    ]
+    for col in cases:
+        for mode, op, fill in (("min", np.minimum, gridagg.min_identity(col.dtype)),
+                               ("max", np.maximum, gridagg.max_identity(col.dtype))):
+            oracle = np.full(g, fill, col.dtype)
+            getattr(np, mode + "imum").at(oracle, idx_np, col)
+            out = np.asarray(jax.jit(
+                lambda i, c, m=mode: gridagg.extreme_fast(i, c, g, m))(
+                    idx, jnp.asarray(col)))
+            np.testing.assert_array_equal(out, oracle, err_msg=f"{col.dtype} {mode}")

@@ -34,6 +34,9 @@ def main(argv=None):
     p_server.add_argument("--token", default=None, help="require this token for access")
     p_server.add_argument("--token-trusted", default=None, dest="token_trusted",
                           help="token unlocking trusted mode (pickled functions)")
+    p_server.add_argument("--flavor", choices=["tornado", "asgi"], default="tornado",
+                          help="tornado websocket server or the ASGI REST app "
+                               "(FastAPI surface; needs uvicorn)")
 
     p_bench = sub.add_parser("benchmark", help="run the groupby benchmark")
     p_bench.add_argument("--n", type=float, default=1e7)
@@ -66,7 +69,10 @@ def main(argv=None):
         if not ok:
             sys.exit(1)
     elif args.command == "webserver":
-        from vaex_tpu.server.tornado_server import serve
+        if args.flavor == "asgi":
+            from vaex_tpu.server.asgi import serve
+        else:
+            from vaex_tpu.server.tornado_server import serve
         frames = {}
         import os
         for path in args.paths:
