@@ -373,6 +373,40 @@ def _partition_extreme_column(op, ctx, mode):
     return jnp.where(valid, x.data.astype(jnp.float32), fill)
 
 
+
+def _narrow_extreme_dtype(op):
+    """int32 when a wide-int extreme column's PROVEN bounds fit strictly
+    inside int32 (the narrow identity then never collides with data) —
+    the packed single-key extreme sort (gridagg.extreme_packed) needs a
+    32-bit order map, and H2O's v1/v2 are int64 with tiny values."""
+    import numpy as np
+    dt = DataType(op.dtype_in).device
+    vb = op.value_bound
+    if (np.dtype(dt).kind in "iu" and np.dtype(dt).itemsize == 8
+            and vb is not None
+            and -(2 ** 31) < int(vb[0]) and int(vb[1]) < 2 ** 31 - 1):
+        return np.dtype("int32")
+    return None
+
+
+def _apply_extreme_narrowed(state, grid_col, mode):
+    """Merge a possibly-narrowed extreme grid into the wide state: the
+    narrow identity (int32 min/max fill of empty cells) maps back to the
+    wide identity — data can never equal it (strict value_bound)."""
+    import jax.numpy as jnp
+    g = grid_col.astype(state[0].dtype)
+    if grid_col.dtype != state[0].dtype and \
+            jnp.issubdtype(grid_col.dtype, jnp.integer):
+        ident_n = (gridagg.min_identity(grid_col.dtype) if mode == "min"
+                   else gridagg.max_identity(grid_col.dtype))
+        ident_w = (gridagg.min_identity(state[0].dtype) if mode == "min"
+                   else gridagg.max_identity(state[0].dtype))
+        g = jnp.where(grid_col == jnp.asarray(ident_n, grid_col.dtype),
+                      jnp.asarray(ident_w, state[0].dtype), g)
+    cmb = jnp.minimum if mode == "min" else jnp.maximum
+    return (cmb(state[0], g),)
+
+
 class OpMin(AggOperation):
     name = "min"
     value_bound = None  # optional minmax pre-pass range (like OpSum)
@@ -416,13 +450,12 @@ class OpMin(AggOperation):
         import jax.numpy as jnp
         x = self._input(ctx)
         valid = gridagg.value_valid(x, self._valid(ctx))
-        dt = DataType(self.dtype_in).device
+        dt = _narrow_extreme_dtype(self) or DataType(self.dtype_in).device
         fill = jnp.asarray(gridagg.min_identity(dt), dt)
         return jnp.where(valid, x.data.astype(dt), fill)
 
     def apply_extreme(self, state, grid_col):
-        import jax.numpy as jnp
-        return (jnp.minimum(state[0], grid_col.astype(state[0].dtype)),)
+        return _apply_extreme_narrowed(state, grid_col, "min")
 
 
 class OpMax(AggOperation):
@@ -468,13 +501,12 @@ class OpMax(AggOperation):
         import jax.numpy as jnp
         x = self._input(ctx)
         valid = gridagg.value_valid(x, self._valid(ctx))
-        dt = DataType(self.dtype_in).device
+        dt = _narrow_extreme_dtype(self) or DataType(self.dtype_in).device
         fill = jnp.asarray(gridagg.max_identity(dt), dt)
         return jnp.where(valid, x.data.astype(dt), fill)
 
     def apply_extreme(self, state, grid_col):
-        import jax.numpy as jnp
-        return (jnp.maximum(state[0], grid_col.astype(state[0].dtype)),)
+        return _apply_extreme_narrowed(state, grid_col, "max")
 
 
 def _view_logical(grid, dtype_in):
