@@ -161,8 +161,14 @@ def main():
         ks = jax.random.split(jax.random.PRNGKey(42), 9)
         k = 100
 
+        # int32 storage at n >= 1e8: the 9-column all-int64 table alone is
+        # 7.2 GB of 16 GB HBM; values are identical (ids <= 1e6, v1/v2 tiny)
+        # and the q10 span PRODUCT (1e20 > 2^62) still forces the unpacked
+        # multi-key path, so the shape parity is unchanged
+        wide = jnp.int32 if n >= 50_000_000 else jnp.int64
+
         def ints(key, lo, hi):
-            return jax.random.randint(key, (n,), lo, hi, dtype=jnp.int32).astype(jnp.int64)
+            return jax.random.randint(key, (n,), lo, hi, dtype=jnp.int32).astype(wide)
         df = vt.from_dataset(vt.DatasetArrays({
             "id1": ints(ks[0], 1, k + 1), "id2": ints(ks[1], 1, k + 1),
             "id3": ints(ks[2], 1, n // k + 1), "id4": ints(ks[3], 1, k + 1),
