@@ -595,12 +595,58 @@ class DeviceSetHandle:
         return self.n_keys + int(self.has_nan) + int(self.has_null)
 
 
+_SORT_PROBE_MIN_KEYS = 4096
+
+
+def _sort_merge_ordinals(keys, data, n_keys):
+    """Large-set probe without searchsorted: sort (value, key-first flag)
+    over keys + data together; within each equal-value run a cummax
+    propagates the run's key ordinal forward; a second single-key sort
+    restores row order.  XLA's searchsorted lowers to a per-row gather
+    loop on TPU (isin at 1e8 x M=1e4 measured 24.5 s); this is two sorts
+    + two scans (~2 s for the same shape).  Returns int32 ordinals (-1
+    unmatched)."""
+    import jax
+    N = data.shape[0]
+    U = n_keys
+    vals = jnp.concatenate([keys.astype(data.dtype), data])
+    # secondary sort key: keys (flag 0) precede equal data values (flag 1);
+    # low bits carry the ordinal (keys) / row id (data)
+    tag = jnp.concatenate([
+        jax.lax.broadcasted_iota(jnp.int32, (U, 1), 0).squeeze(-1),
+        (jax.lax.broadcasted_iota(jnp.int32, (N, 1), 0).squeeze(-1)
+         | jnp.int32(1 << 30))])
+    sv, st = jax.lax.sort((vals, tag), num_keys=2)
+    is_key = st < (1 << 30)
+    total = U + N
+    # equal-value runs: run id = prefix count of value changes
+    change = jnp.concatenate([jnp.zeros(1, jnp.int32),
+                              (sv[1:] != sv[:-1]).astype(jnp.int32)])
+    run_id = jnp.cumsum(change)
+    # the run's key ordinal propagates forward (keys sort first in a run);
+    # pack (run_id, ordinal) so one cummax carries both
+    packed = jnp.where(is_key,
+                       run_id.astype(jnp.int64) << 31 | st.astype(jnp.int64),
+                       jnp.int64(-1))
+    carried = jax.lax.cummax(packed)
+    ord_here = jnp.where(
+        (carried >= 0) & ((carried >> 31) == run_id.astype(jnp.int64)),
+        (carried & ((1 << 31) - 1)).astype(jnp.int32), jnp.int32(-1))
+    # restore row order: single-key sort of (rowid, ordinal) for data rows
+    rowkey = jnp.where(is_key, jnp.int32(N), st & jnp.int32((1 << 30) - 1))
+    _, out = jax.lax.sort((rowkey, ord_here), num_keys=1)
+    return out[:N]
+
+
 def _device_probe(keys, data, n_keys):
     """sorted keys x data -> int32 ordinals (-1 unmatched); the VMEM compare
-    kernel for small sets, binary search beyond."""
+    kernel for small sets, sort-merge for large ones, binary search between."""
     from . import pallas_probe
     if pallas_probe.is_available(n_keys):
         return pallas_probe.probe_ordinals(keys, data)
+    if (n_keys > _SORT_PROBE_MIN_KEYS
+            and jnp.issubdtype(data.dtype, jnp.integer)):
+        return _sort_merge_ordinals(keys, data, n_keys)
     idx = jnp.searchsorted(keys, data).astype(jnp.int32)
     idx = jnp.clip(idx, 0, n_keys - 1)
     found = keys[idx] == data
