@@ -1666,13 +1666,16 @@ class DataFrame:
             col = self.dataset[name]
             raw = col[:] if hasattr(col, "__getitem__") else col
             dt = DataType(dtype_of(col))
-            if dt.is_string:
+            if dt.is_string or dt.is_encoded:
                 import pyarrow as pa
                 import pyarrow.compute as pc
                 arr = array_types.to_arrow(raw)
                 if isinstance(arr, pa.ChunkedArray):
                     arr = arr.combine_chunks()
-                encoded = pc.dictionary_encode(arr)
+                if pa.types.is_dictionary(arr.type):
+                    encoded = arr  # already encoded: no O(N)-string re-pass
+                else:
+                    encoded = pc.dictionary_encode(arr)
                 if isinstance(encoded, pa.ChunkedArray):
                     encoded = encoded.combine_chunks()
                 labels = encoded.dictionary.to_pylist()

@@ -46,7 +46,11 @@ from .pallas_gridagg import _FLOAT_CHANNELS, _limbs3, _round_up, _two_sum
 
 F = 128        # per-(block, bucket) run capacity (one 128-lane group)
 P_MAX = 126    # max buckets (bucket one-hot + trash bucket fit 128 lanes)
-RUN_HEADROOM = 80  # require B1/P <= this (mean run 80 -> F=128 is +5.4 sigma)
+# require B1/P <= this: mean run 56 -> F=128 is +9.6 sigma.  The former 80
+# (+5.4 sigma) overflowed in practice — a 1e8-row uniform-code pass tripped
+# the retry-on-sort-path every time (11 rows over across ~1.3M runs),
+# costing far more than the smaller blocks do
+RUN_HEADROOM = 56
 
 
 def _split_bf16_exact(x32):

@@ -645,7 +645,8 @@ def _device_probe(keys, data, n_keys):
     if pallas_probe.is_available(n_keys):
         return pallas_probe.probe_ordinals(keys, data)
     if (n_keys > _SORT_PROBE_MIN_KEYS
-            and jnp.issubdtype(data.dtype, jnp.integer)):
+            and jnp.issubdtype(data.dtype, jnp.integer)
+            and data.shape[0] < (1 << 30)):  # row ids pack into 30 bits
         return _sort_merge_ordinals(keys, data, n_keys)
     idx = jnp.searchsorted(keys, data).astype(jnp.int32)
     idx = jnp.clip(idx, 0, n_keys - 1)
