@@ -46,11 +46,12 @@ from .pallas_gridagg import _FLOAT_CHANNELS, _limbs3, _round_up, _two_sum
 
 F = 128        # per-(block, bucket) run capacity (one 128-lane group)
 P_MAX = 126    # max buckets (bucket one-hot + trash bucket fit 128 lanes)
-# require B1/P <= this: mean run 56 -> F=128 is +9.6 sigma.  The former 80
-# (+5.4 sigma) overflowed in practice — a 1e8-row uniform-code pass tripped
+# require B1/P <= this: mean run 70 -> F=128 is +7.0 sigma (Poisson tail
+# ~1e-10/run; ~1e-4 expected overflows per 1e8-row pass).  The former 80
+# (+5.6 sigma) overflowed in practice — a 1e8-row uniform-code pass tripped
 # the retry-on-sort-path every time (11 rows over across ~1.3M runs),
-# costing far more than the smaller blocks do
-RUN_HEADROOM = 56
+# costing far more than slightly smaller blocks do
+RUN_HEADROOM = 70
 
 
 def _split_bf16_exact(x32):
