@@ -337,9 +337,15 @@ def plan(G, n_static, n_float):
         if P > P_MAX:
             continue
         P_pad = _round_up(P, 8)
-        B1 = 4096
-        while B1 > 512 and B1 // P > RUN_HEADROOM:
-            B1 //= 2
+        # largest block with mean run <= RUN_HEADROOM; 1024-multiples, not
+        # just powers of two — P=98 at B1=4096 means run 42 (slack 3.06)
+        # while 6144 gives 63 (slack 2.04): the pow-2 quantization was
+        # costing a third of phase 2 at G=1e5-class shapes
+        B1 = 512
+        for cand in (6144, 5120, 4096, 3072, 2048, 1024, 512):  # 1024-multiples (XLA 1-D block layout) + legacy 512
+            if cand // P <= RUN_HEADROOM:
+                B1 = cand
+                break
         if B1 // P > RUN_HEADROOM:
             continue  # even 512-row blocks would overflow F=128 runs
         slack = P * F / B1
