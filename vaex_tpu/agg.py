@@ -273,6 +273,13 @@ class OpSum(AggOperation):
                 channels.append(s.astype(jnp.float32))
                 r = (r - s) >> 8
             return ("static", channels)
+        ps = getattr(x, "presplit", None)
+        if ps is not None:
+            # resident f64 stored as an exact (hi, lo) pair: no per-pass
+            # Dekker split, no f64 ops in the prolog at all
+            hi = jnp.where(valid, ps[0], jnp.float32(0))
+            lo = jnp.where(valid, ps[1], jnp.float32(0))
+            return ("float", [(hi, lo)])
         v = jnp.where(valid, x.data, jnp.zeros((), x.data.dtype)).astype(jnp.float64)
         hi = v.astype(jnp.float32)
         if DataType(self.dtype_in).device.itemsize <= 4:

@@ -332,12 +332,87 @@ class ExecutorLocal(Executor):
                 resident = dict(resident)
                 resident[name] = narrowed
                 wire_narrow_res[name] = dt
+            # resident f64 presplit: store (hi, lo) f32 pairs ONCE per
+            # column (memoized across passes) so the per-pass Dekker split
+            # — an XLA elementwise HBM round trip feeding the channel
+            # kernels — disappears; the step reconstructs f64 lazily (DCE'd
+            # when only the pair is consumed)
+            presplit_res = {}
+
+            def _held_bytes(v):
+                if isinstance(v, tuple):
+                    return sum(getattr(a, "nbytes", 0) for a in v)
+                return getattr(v, "nbytes", 0)
+
+            # persistent HBM: the WHOLE device-resident dataset (columns
+            # outside this pass stay alive too — a sum over x must not
+            # build a pair that evicts nothing but crowds out the next
+            # groupby over (key, x)) + everything the narrow/split cache
+            # holds (narrowed copies, pairs)
+            held = 0
+            for cname in dataset:
+                try:
+                    held += (DataType(df.data_type(cname)).device.itemsize
+                             * n_total)
+                except Exception:
+                    pass
+            held += sum(_held_bytes(v) for v in narrow_cache.values())
+            for name in tile_inputs:
+                if name in host_expr_by_slot or name not in resident:
+                    continue
+                try:
+                    dtp = DataType(df.data_type(name)).numpy
+                except Exception:
+                    continue
+                if dtp != np.dtype("float64"):
+                    continue
+                ck = (df.fingerprint(), name, "split")
+                pair = narrow_cache.get(ck)
+                need = held + (0 if pair is not None else n_total * 8)
+                import os as _os
+                if _os.environ.get("VAEX_TPU_DEBUG_PRESPLIT"):
+                    print(f"presplit? {name}: held={held/1e9:.1f}GB "
+                          f"need={need/1e9:.1f}GB cached={pair is not None}",
+                          flush=True)
+                if need > 11_000_000_000:
+                    # pairs would crowd a 16 GB chip's working set: free any
+                    # cached ones (a prior smaller pass may have built them)
+                    # and run this pass without presplit.  Drop every local
+                    # reference too — a dangling `pair` would pin the HBM
+                    # through the whole() dispatch below
+                    pair = None
+                    for k in [k for k in list(narrow_cache)
+                              if isinstance(k, tuple) and len(k) == 3
+                              and k[2] == "split"]:
+                        narrow_cache.pop(k)
+                    presplit_res.clear()
+                    resident = {k: v for k, v in resident.items()
+                                if not (k.endswith("##hi") or k.endswith("##lo"))}
+                    break
+                if pair is None:
+                    held += n_total * 8
+                    col = jnp.asarray(resident[name])
+                    hi = col.astype(jnp.float32)
+                    lo = (col - hi.astype(jnp.float64)).astype(jnp.float32)
+                    pair = (hi, lo)
+                    if len(narrow_cache) >= 6:
+                        narrow_cache.pop(next(iter(narrow_cache)))
+                    narrow_cache[ck] = pair
+                resident = dict(resident)
+                # the ORIGINAL stays a pass input: the (hi, lo) pair is a
+                # 2^-48-accurate representation (lo truncates to f32), so
+                # .data consumers (min/max, expressions) keep the true f64
+                # — XLA dead-code-eliminates whichever stream goes unused
+                resident[name + "##hi"] = pair[0]
+                resident[name + "##lo"] = pair[1]
+                presplit_res[name] = True
             from .utils import trace
             with trace("whole-pass build+key"):
                 whole = self._get_whole_pass(
                     df, device_tasks, tile_inputs, host_expr_by_slot, set_variables,
                     filter_expr if filter_on_device else None, T, n_total,
-                    wire_narrow=wire_narrow_res)
+                    wire_narrow=wire_narrow_res,
+                    wire_presplit=tuple(sorted(presplit_res)))
             n_tiles = -(-n_total // T)
             # progress/cancel granularity: one dispatch per CHUNK_TILES tiles
             # when someone is listening (reference execution.py:253-258 emits
@@ -671,7 +746,7 @@ class ExecutorLocal(Executor):
 
     def _get_whole_pass(self, df, device_tasks, tile_inputs, host_expr_by_slot,
                         set_variables, device_filter_expr, tile_rows, n_total,
-                        wire_narrow=None):
+                        wire_narrow=None, wire_presplit=()):
         """One compiled program for the WHOLE pass over device-resident data.
 
         A ``fori_loop`` over tiles replaces the Python dispatch loop: no
@@ -683,7 +758,8 @@ class ExecutorLocal(Executor):
         key = self._step_key(df, device_tasks, tile_inputs, host_expr_by_slot,
                              set_variables, device_filter_expr, None, tile_rows,
                              extra=("whole-pass", n_total,
-                                    tuple(sorted((wire_narrow or {}).items())) or None))
+                                    tuple(sorted((wire_narrow or {}).items())) or None,
+                                    tuple(wire_presplit) or None))
         if key in self._step_cache:
             return self._step_cache[key]
         set_meta = {name: (s.n_keys, s.has_nan, s.has_null, s)
@@ -693,8 +769,13 @@ class ExecutorLocal(Executor):
         step = _make_step_fn(df, device_tasks, tile_inputs, host_expr_by_slot,
                              set_meta, device_filter_expr, tile_rows,
                              mesh=mesh, axis_name=axis_name,
-                             wire_narrow=wire_narrow)
+                             wire_narrow=wire_narrow, wire_presplit=wire_presplit)
         n_tiles = -(-n_total // tile_rows)
+        # presplit columns ALSO stream their (hi, lo) pair slices (either
+        # stream is DCE'd per-step when unused)
+        slice_names = list(tile_inputs)
+        for n in wire_presplit:
+            slice_names += [n + "##hi", n + "##lo"]
 
         if mesh is None:
             def whole(states, cols, aux, t0, t1):
@@ -706,7 +787,7 @@ class ExecutorLocal(Executor):
                 def body(i, states):
                     i1 = (i * tile_rows).astype(jnp.int32)
                     tile = {name: (jax.lax.dynamic_slice_in_dim(cols[name], i1, tile_rows), None)
-                            for name in tile_inputs}
+                            for name in slice_names}
                     n_valid = jnp.minimum(jnp.int32(n_total) - i1, tile_rows)
                     states, _ = step(states, tile, n_valid, i1, aux, None)
                     return states
@@ -739,7 +820,7 @@ class ExecutorLocal(Executor):
                     def body(i, states):
                         r0 = (i * t_local).astype(jnp.int32)
                         tile = {name: (jax.lax.dynamic_slice_in_dim(cols[name], r0, t_local), None)
-                                for name in tile_inputs}
+                                for name in slice_names}
                         # validity of local row j: global row d*rpd+r0+j < N.
                         # the step tests iota + d*t_local < n_valid, so shift:
                         n_valid = jnp.clip(jnp.int32(n_total) - d * jnp.int32(rpd) - r0,
@@ -780,23 +861,29 @@ def _pass_compiler_options():
 
 def _make_step_fn(df, device_tasks, tile_inputs, host_expr_by_slot, set_meta,
                   device_filter_expr, tile_rows, mesh=None, axis_name=None,
-                  wire_narrow=None):
+                  wire_narrow=None, wire_presplit=()):
     """The traced per-tile step shared by the per-tile and whole-pass paths."""
     from .tasks import TaskAggregations
     spmd = mesh is not None
     widen = {k: np.dtype(v) for k, v in (wire_narrow or {}).items()}
+    presplit = set(wire_presplit)
 
     def step(states, tile, n_valid, i1, aux, host_filter_tile):
-        T = tile[tile_inputs[0]][0].shape[0] if tile_inputs else (
+        T = next(iter(tile.values()))[0].shape[0] if tile else (
             tile_rows // mesh.size if spmd else tile_rows)
         local_offset = 0
         if spmd:
             local_offset = jax.lax.axis_index(axis_name).astype(jnp.int32) * T
         na_tile = {}
         for name, (data, mask) in tile.items():
+            if name.endswith("##hi") or name.endswith("##lo"):
+                continue  # pair streams: attached as hints below
             if name in widen:  # narrowed wire: restore the logical dtype
                 data = data.astype(widen[name])
-            na_tile[name] = NA(data, mask)
+            ps = None
+            if name in presplit:
+                ps = (tile[name + "##hi"][0], tile[name + "##lo"][0])
+            na_tile[name] = NA(data, mask, presplit=ps)
             if name in host_expr_by_slot:
                 na_tile[host_expr_by_slot[name]] = na_tile[name]
         aux_sets = {name: DeviceSetHandle(aux[name], n_keys, has_nan, has_null, host_set=hs)

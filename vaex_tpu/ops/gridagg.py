@@ -30,6 +30,11 @@ def value_valid(x, valid):
     """AND the row-valid mask with the value's own null/NaN validity."""
     if x.mask is not None:
         valid = valid & ~x.mask
+    ps = getattr(x, "presplit", None)
+    if ps is not None:
+        # NaN(f64) <=> NaN(its f32 hi): checking the pair keeps the lazy
+        # f64 reconstruction dead for pair-only consumers
+        return valid & ~jnp.isnan(ps[0])
     if jnp.issubdtype(x.data.dtype, jnp.floating):
         valid = valid & ~jnp.isnan(x.data)
     return valid
